@@ -1,0 +1,146 @@
+"""SO(3) utilities: rotation conversions and the weighted chordal mean.
+
+Replaces reference `src/models/so3conv.py:186-225` (so3_mean via torch.svd
+with det-sign fix and jitter retry) and the rotation-conversion helpers in
+`src/utils/rotation_conversions.py` / `rotation_converter.py`, as pure JAX
+(jit/vmap-friendly, no data-dependent retries — we add a deterministic
+Tikhonov floor instead of the reference's random-jitter-on-failure).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def project_to_so3(C: jnp.ndarray) -> jnp.ndarray:
+    """Project (..., 3, 3) matrices to the nearest rotation (chordal L2).
+
+    Equivalent to U diag(1, 1, det(UV^T)) V^T from the SVD of C
+    (reference so3_mean core, src/models/so3conv.py:215-225).
+    """
+    # A tiny multiple of identity keeps SVD well-conditioned when C is nearly
+    # rank-deficient (reference retries with random jitter instead,
+    # so3conv.py:217-219).
+    eps = 1e-8 * jnp.eye(3, dtype=C.dtype)
+    u, _, vt = jnp.linalg.svd(C + eps, full_matrices=False)
+    det = jnp.linalg.det(u @ vt)
+    d = jnp.concatenate(
+        [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None], det[..., None]],
+        axis=-1,
+    )
+    return (u * d[..., None, :]) @ vt
+
+
+def so3_mean(Rs: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Weighted chordal-L2 mean of rotations.
+
+    Rs: (..., N, 3, 3); weights: (..., N) or None.
+    Returns (..., 3, 3).  Matches reference src/models/so3conv.py:186-225.
+    """
+    if weights is None:
+        C = jnp.sum(Rs, axis=-3)
+    else:
+        C = jnp.sum(weights[..., None, None] * Rs, axis=-3)
+    return project_to_so3(C)
+
+
+def rodrigues(axis_angle: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> rotation matrices (..., 3, 3).
+
+    Taylor-safe at theta ~ 0 (needed because SMPL poses start at zero and LM
+    differentiates through this).
+    """
+    theta = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    small = theta < 1e-8
+    safe_theta = jnp.where(small, 1.0, theta)
+    k = axis_angle / safe_theta
+    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+    zero = jnp.zeros_like(kx)
+    K = jnp.stack(
+        [
+            jnp.stack([zero, -kz, ky], axis=-1),
+            jnp.stack([kz, zero, -kx], axis=-1),
+            jnp.stack([-ky, kx, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+    s = jnp.sin(theta)[..., None]
+    c = jnp.cos(theta)[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis_angle.dtype), K.shape)
+    R = eye + s * K + (1.0 - c) * (K @ K)
+    # first-order fallback near zero: I + [axis_angle]_x
+    Klin = jnp.stack(
+        [
+            jnp.stack([zero, -axis_angle[..., 2], axis_angle[..., 1]], axis=-1),
+            jnp.stack([axis_angle[..., 2], zero, -axis_angle[..., 0]], axis=-1),
+            jnp.stack([-axis_angle[..., 1], axis_angle[..., 0], zero], axis=-1),
+        ],
+        axis=-2,
+    )
+    return jnp.where(small[..., None], eye + Klin, R)
+
+
+def rotation_matrix_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrices (..., 3, 3) -> axis-angle (..., 3)."""
+    trace = jnp.trace(R, axis1=-2, axis2=-1)
+    cos = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos)
+    w = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin = jnp.sin(theta)
+    small = jnp.abs(sin) < 1e-7
+    scale = jnp.where(small, 0.5, theta / jnp.where(small, 1.0, 2.0 * sin))
+    return w * scale[..., None]
+
+
+def quaternion_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (..., 4) wxyz -> rotation matrix (..., 3, 3)."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-8)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+
+
+def matrix_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) -> unit quaternion (..., 4) wxyz.
+
+    Branch-free (jit-safe) variant of the standard Shepperd method: compute all
+    four candidate quaternions and select the best-conditioned one.
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    qw = jnp.stack([1 + m00 + m11 + m22, m21 - m12, m02 - m20, m10 - m01], -1)
+    qx = jnp.stack([m21 - m12, 1 + m00 - m11 - m22, m01 + m10, m02 + m20], -1)
+    qy = jnp.stack([m02 - m20, m01 + m10, 1 - m00 + m11 - m22, m12 + m21], -1)
+    qz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, 1 - m00 - m11 + m22], -1)
+    cands = jnp.stack([qw, qx, qy, qz], axis=-2)            # (..., 4, 4)
+    norms = jnp.sum(cands * cands, axis=-1)                  # (..., 4)
+    best = jnp.argmax(norms, axis=-1)
+    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, -1), axis=-2)
+    q = q[..., 0, :]
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-8)
+    return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)  # canonical hemisphere
+
+
+def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
+    """Continuous 6D rotation representation (..., 6) -> (..., 3, 3)."""
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True).clip(1e-8)
+    b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True).clip(1e-8)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)

@@ -1,0 +1,40 @@
+"""k-NN inverse-distance-weighted feature interpolation (upsampling).
+
+Replaces the reference's CUDA interpolation
+(`external/pointops/src/interpolation/interpolation_cuda_kernel.cu:5-34`,
+python path `src/models/pointops.py:164-178`) and the pure-torch
+PointFeatPropagation (`src/models/pointnet2_utils.py:45-74`).
+
+Two weighting conventions exist in the reference:
+  - pointops.interpolation: w ~ 1/(sqrt(d2)+1e-8)   (use_sqrt=True)
+  - PointFeatPropagation:   w ~ 1/(d2+1e-8)         (use_sqrt=False)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from etch_tpu.ops.knn import knn
+from etch_tpu.ops.grouping import group_points
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_sqrt"))
+def knn_interpolate(
+    src_xyz: jnp.ndarray,
+    dst_xyz: jnp.ndarray,
+    src_feat: jnp.ndarray,
+    k: int = 3,
+    use_sqrt: bool = True,
+) -> jnp.ndarray:
+    """src_xyz: (B, S, 3), dst_xyz: (B, N, 3), src_feat: (B, S, C) -> (B, N, C)."""
+    idx, dist = knn(dst_xyz, src_xyz, k)          # (B, N, k)
+    if use_sqrt:
+        w = 1.0 / (dist + 1e-8)
+    else:
+        w = 1.0 / (dist * dist + 1e-8)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    grouped = group_points(src_feat, idx)          # (B, N, k, C)
+    return jnp.sum(grouped * w[..., None], axis=2)

@@ -1,0 +1,69 @@
+"""Brute-force k-nearest-neighbors on dense batched clouds.
+
+TPU-native replacement for the reference's register-heap CUDA kNN
+(`external/pointops/src/knnquery/knnquery_cuda_kernel.cu:21-116`, wrapped at
+`src/models/pointops.py:30-45`).  On TPU the right design is not a per-thread
+heap but a tiled distance matrix driven through the MXU
+(-2*q@s^T + |q|^2 + |s|^2) followed by top-k; XLA fuses the bias adds into the
+matmul epilogue.  Queries are processed in chunks so peak memory stays at
+O(chunk * N) regardless of cloud size.
+
+Ties broken by index (smaller index first), matching the scan order of the
+reference kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _pairwise_sqdist(q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """(M,3) x (N,3) -> (M,N) squared distances, MXU-friendly."""
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)          # (M,1)
+    ss = jnp.sum(s * s, axis=-1)[None, :]                # (1,N)
+    # K=3 contraction: negligible FLOPs, so use full f32 precision — neighbor
+    # *ordering* must be exact (bf16 MXU passes would flip near-ties).
+    cross = jax.lax.dot(q, s.T, precision=jax.lax.Precision.HIGHEST)
+    d = qq + ss - 2.0 * cross
+    return jnp.maximum(d, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, chunk: int = 1024):
+    """k nearest supports for each query point.
+
+    query: (B, M, 3); support: (B, N, 3)
+    Returns (idx, dist): (B, M, k) int32 indices and (B, M, k) *euclidean*
+    distances (sqrt, as in reference pointops.py:43), sorted ascending.
+    """
+    B, M, _ = query.shape
+    N = support.shape[1]
+    k = min(k, N)
+
+    def one_batch(q, s):
+        pad = (-M) % chunk
+        qp = jnp.pad(q, ((0, pad), (0, 0)))
+        qc = qp.reshape(-1, chunk, 3)
+
+        def do_chunk(qt):
+            d = _pairwise_sqdist(qt, s)                   # (chunk, N)
+            # negative distance top-k == smallest-k; jax top_k is stable, so
+            # ties resolve to the smaller index as in the reference scan.
+            _, idx = jax.lax.top_k(-d, k)
+            # Recompute the k selected distances exactly: the matmul form
+            # loses ~1e-7 to cancellation, which matters when a query point
+            # coincides with a support point (IDW weights must see dist==0,
+            # as the reference's direct-difference kernel does).
+            sel = s[idx]                                  # (chunk, k, 3)
+            exact = jnp.sum((qt[:, None, :] - sel) ** 2, axis=-1)
+            return idx.astype(jnp.int32), exact
+
+        idxs, dists = jax.lax.map(do_chunk, qc)
+        idxs = idxs.reshape(-1, k)[:M]
+        dists = dists.reshape(-1, k)[:M]
+        return idxs, jnp.sqrt(jnp.maximum(dists, 0.0))
+
+    return jax.vmap(one_batch)(query, support)
