@@ -13,4 +13,13 @@ jitted LM fitter in lax.while_loop instead of Theseus.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# f32 tensors must multiply at f32 precision: the default (bf16-class MXU
+# passes) silently costs ~1e-3 relative error, which breaks rotation math,
+# distance-based neighbor ordering, and the equivariance contract.  Hot paths
+# that can tolerate bf16 opt in explicitly by casting their inputs, which this
+# flag does not affect.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from etch_tpu.utils.config import EtchConfig  # noqa: F401

@@ -51,9 +51,12 @@ def rodrigues(axis_angle: jnp.ndarray) -> jnp.ndarray:
     Taylor-safe at theta ~ 0 (needed because SMPL poses start at zero and LM
     differentiates through this).
     """
-    theta = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
-    small = theta < 1e-8
-    safe_theta = jnp.where(small, 1.0, theta)
+    sq = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)
+    small = sq < 1e-16
+    # double-where: the unselected branch must stay NaN-free under autodiff
+    # (sqrt'(0) = inf would otherwise poison the Jacobian at zero pose).
+    safe_theta = jnp.sqrt(jnp.where(small, 1.0, sq))
+    theta = jnp.where(small, 0.0, safe_theta)
     k = axis_angle / safe_theta
     kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
     zero = jnp.zeros_like(kx)
@@ -68,7 +71,10 @@ def rodrigues(axis_angle: jnp.ndarray) -> jnp.ndarray:
     s = jnp.sin(theta)[..., None]
     c = jnp.cos(theta)[..., None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=axis_angle.dtype), K.shape)
-    R = eye + s * K + (1.0 - c) * (K @ K)
+    # K @ K == k k^T - I for unit k; the outer-product form avoids a matmul
+    # whose default (bf16-class) precision would cost ~1e-3 of accuracy.
+    KK = k[..., :, None] * k[..., None, :] - eye
+    R = eye + s * K + (1.0 - c) * KK
     # first-order fallback near zero: I + [axis_angle]_x
     Klin = jnp.stack(
         [

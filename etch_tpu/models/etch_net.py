@@ -1,0 +1,156 @@
+"""Top-level ETCH network: EPN encoder + direction/magnitude/confidence heads.
+
+Rebuild of reference `src/models/models_pointcloud.py:18-221`
+(GT_network_equiv).  Input is a batch of scans (B, N, 3); outputs are
+per-point tightness direction (B, N, 3, unit), magnitude (B, N, 1, scaled
+x10), 86-way part logits (B, N, 86) and confidence (B, N, 1).
+
+The predicted tightness vector is direction * magnitude / scale_magnitude and
+the "etched" inner point is hitpts - vector (reference src/eval.py:116,183).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from etch_tpu.geometry import get_anchors, so3_mean
+from etch_tpu.nn.attention import BatchMLP, StackedMHSA
+from etch_tpu.nn.epn import EPNBackbone
+from etch_tpu.nn.point_transformer import PointTransformerSeg
+from etch_tpu.ops import knn_interpolate
+from etch_tpu.utils.config import EtchConfig, backbone_plan
+
+Array = jnp.ndarray
+
+
+from etch_tpu.nn.epn import ConvSpec
+
+
+def _freeze_plan(plan):
+    return tuple(tuple(ConvSpec(**c) for c in block) for block in plan)
+
+
+class DirectionHead(nn.Module):
+    """Anchor-attention direction decoder
+    (reference models_pointcloud.py:52-54,111-126).
+
+    Per point: MHSA over the 60 anchor channels -> MLP -> scalar anchor
+    weights -> weighted chordal mean of the anchor rotations -> rotate the
+    canonical vector [0,0,1].
+    """
+
+    embed_dim: int
+    value_dim: int = 128
+    num_heads: int = 8
+    num_layers: int = 2
+    chunk: int = 2048
+
+    @nn.compact
+    def __call__(self, equiv_feat: Array) -> Array:
+        # equiv_feat: (B, N, A, C)
+        B, N, A, C = equiv_feat.shape
+        anchors = jnp.asarray(get_anchors(A))            # (A, 3, 3)
+
+        x = equiv_feat.reshape(B * N, A, C)
+        mhsa = StackedMHSA(
+            embedding_dim=self.embed_dim,
+            value_dim=self.value_dim,
+            num_heads=self.num_heads,
+            num_layers=self.num_layers,
+            name="direction_encoder",
+        )
+        mlp = BatchMLP(out_features=self.value_dim, name="direction_predictor")
+        reg = nn.Dense(1, name="so3_reg")
+
+        def head(tokens):  # (chunk, A, C) -> (chunk, 3)
+            h = mhsa(tokens)
+            h = mlp(h)
+            w = reg(h)[..., 0]                            # (chunk, A)
+            R = so3_mean(jnp.broadcast_to(anchors, w.shape + (3, 3)), w)
+            return R[..., :, 2]  # R @ [0,0,1] == third column
+
+        # chunk over points to bound the (chunk, H, A, A) attention logits
+        M = B * N
+        chunk = min(self.chunk, M)
+        pad = (-M) % chunk
+        xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))).reshape(-1, chunk, A, C)
+        # nn.scan would thread params; with identical params per chunk a
+        # simple concat of vmapped applications is enough because `head`
+        # closes over module params (flax re-traces but shares variables).
+        outs = []
+        for i in range(xp.shape[0]):
+            outs.append(head(xp[i]))
+        out = jnp.concatenate(outs, axis=0)[:M]
+        return out.reshape(B, N, 3)
+
+
+class EtchNet(nn.Module):
+    """GT_network_equiv equivalent (reference models_pointcloud.py:18-221)."""
+
+    cfg: EtchConfig
+
+    def setup(self):
+        plan = _freeze_plan(backbone_plan(self.cfg))
+        self.plan = plan
+        self.encoder = EPNBackbone(plan=plan, name="encoder")
+        self.epn_feat_dim = plan[-1][-1].dim_out
+
+        self.direction_head = DirectionHead(
+            embed_dim=self.epn_feat_dim, name="direction_head"
+        )
+        self.magnitude_head = PointTransformerSeg(
+            mode="magnitude",
+            planes=(64, 128, 256, 256, 512),
+            name="magnitude_encoder",
+        )
+        self.confidence_head = PointTransformerSeg(
+            mode="confidence",
+            num_classes=self.cfg.num_markers,
+            planes=(128, 128, 256, 256, 512),
+            name="confidence_encoder",
+        )
+
+    def __call__(
+        self,
+        hitpts: Array,
+        train: bool = False,
+        pred_items: Sequence[str] = ("confidence", "direction", "magnitude"),
+    ):
+        """hitpts: (B, N, 3) -> dict of per-point predictions."""
+        B, N, _ = hitpts.shape
+        cloud, _ = self.encoder(hitpts)
+        feats = cloud.feats                              # (B, K, A, C)
+        K, A, C = feats.shape[1], feats.shape[2], feats.shape[3]
+
+        # 3-NN feature propagation back to all N input points with
+        # squared-distance IDW (reference pointnet2_utils.py:45-74)
+        flat = feats.transpose(0, 1, 3, 2).reshape(B, K, C * A)
+        prop = knn_interpolate(cloud.xyz, hitpts, flat, k=3, use_sqrt=False)
+        point_equiv = prop.reshape(B, N, C, A)           # (B, N, C, A)
+        point_inv = jnp.mean(point_equiv, axis=-1)       # (B, N, C)
+
+        results = {}
+        if "confidence" in pred_items:
+            logits, conf = self.confidence_head(hitpts, point_inv, train=train)
+            results["part_labels"] = logits
+            results["confidences"] = conf
+        if "direction" in pred_items:
+            equiv = point_equiv.transpose(0, 1, 3, 2)    # (B, N, A, C)
+            results["direction"] = self.direction_head(equiv)
+        if "magnitude" in pred_items:
+            results["magnitude"] = self.magnitude_head(
+                hitpts, point_inv, train=train
+            )
+        return results
+
+    def predict_vectors(self, results) -> Array:
+        """Tightness vectors from head outputs (reference eval.py:116)."""
+        return (
+            results["direction"]
+            * results["magnitude"]
+            / self.cfg.scale_magnitude
+        )

@@ -1,0 +1,294 @@
+"""SE(3)-locally-equivariant point network (EPN) backbone, TPU-first.
+
+Re-design of the reference's vgtk SO(3)-conv stack
+(`external/vgtk/vgtk/so3conv/{modules.py, functional.py}` and ETCH's block
+wrappers `src/models/so3conv.py:7-183`, builder `src/models/so3net.py:36-152`).
+
+Differences from the CUDA/torch design, on purpose:
+  - dense static (B, P, A, C) batching (anchor dim A=60, channels last);
+    no offset arrays, no ragged clouds.
+  - the inter-conv kernel-influence weights
+    w = relu(1 - |x - R_a k|^2 / sigma)   (reference functional.py:286-324)
+    are never materialized for the full cloud: we stream over point chunks
+    with lax.map, computing the (chunk, nn, A, K) weight block and contracting
+    it against the grouped features and the (K*C_in -> C_out) projection in
+    one fused region.  Peak memory is O(chunk * nn * A * K) instead of
+    O(P * nn * A * K) (~GBs at N=5000).
+  - grouping indices come from etch_tpu.ops (FPS / ball query with the
+    reference's repeat-fill semantics), so no shadow-point padding is needed:
+    every gathered neighbor is a real point, exactly as in the reference where
+    the shadow index is never emitted (grouping_cuda_kernel.cu:99-112).
+  - rotation-group (intra) conv gathers along the precomputed right-
+    multiplication adjacency (etch_tpu.geometry.get_intra_idx) and reduces to
+    a single (12*C_in -> C_out) matmul on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, NamedTuple, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from etch_tpu.geometry import get_anchors, get_intra_idx, get_kernel_points
+from etch_tpu.ops import ball_query, fps, gather_points, group_points
+
+Array = jnp.ndarray
+
+
+class ConvSpec(NamedTuple):
+    """Static descriptor of one separable conv (hashable, so it can live as a
+    flax module attribute)."""
+
+    dim_in: int
+    dim_out: int
+    kernel_size: int
+    stride: int
+    radius: float
+    sigma: float
+    n_neighbor: int
+    lazy_sample: bool
+    n_in: int
+    n_out: int
+
+
+class SphericalCloud(NamedTuple):
+    """Value type of the equivariant stack (reference so3conv/base.py:5-23).
+
+    xyz:   (B, P, 3)
+    feats: (B, P, A, C)  -- anchor-indexed regular-representation features
+    """
+
+    xyz: Array
+    feats: Array
+
+
+def occupancy_features(xyz: Array, n_anchor: int = 60) -> Array:
+    """All-ones occupancy input features (reference functional.py:70-89)."""
+    B, P, _ = xyz.shape
+    return jnp.ones((B, P, n_anchor, 1), dtype=xyz.dtype)
+
+
+class InstanceNormPA(nn.Module):
+    """InstanceNorm over the (point, anchor) axes per channel, no affine.
+
+    Matches torch nn.InstanceNorm2d(C, affine=False) applied to (B, C, P, A)
+    (reference src/models/so3conv.py:27,85,168): statistics are computed per
+    (batch, channel) over P and A, at eval time as well (torch instance norm
+    has no running stats by default).
+    """
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:  # (B, P, A, C)
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+
+
+class InterSO3Conv(nn.Module):
+    """Spatial equivariant conv (reference vgtk modules.py:92-128).
+
+    One call does: FPS (or lazy arange) stride subsampling -> ball query ->
+    streamed kernel-influence contraction -> (K*C_in -> C_out) projection.
+    """
+
+    dim_in: int
+    dim_out: int
+    kernel_size: int      # kernel-point family: 1 -> 24 points
+    stride: int
+    radius: float
+    sigma: float
+    n_neighbor: int
+    lazy_sample: bool
+    chunk: int = 64
+
+    @nn.compact
+    def __call__(self, cloud: SphericalCloud):
+        xyz, feats = cloud
+        B, P, A, C = feats.shape
+        assert C == self.dim_in
+
+        kernels = get_kernel_points(self.radius, self.kernel_size)   # (K, 3)
+        anchors = get_anchors(A)                                     # (A, 3, 3)
+        K = kernels.shape[0]
+        # rotated kernel points, static constant: (A*K, 3)
+        rk = np.einsum("aij,kj->aki", anchors, kernels).reshape(A * K, 3)
+        rk = jnp.asarray(rk, dtype=xyz.dtype)
+        rk_sq = jnp.sum(rk * rk, axis=-1)                            # (A*K,)
+
+        P2 = -(-P // self.stride)
+        sample_idx = fps(xyz, P2, lazy=self.lazy_sample)             # (B, P2)
+        new_xyz = gather_points(xyz, sample_idx)                     # (B, P2, 3)
+        nbr_idx = ball_query(new_xyz, xyz, self.radius, self.n_neighbor)
+
+        W = self.param(
+            "W",
+            nn.initializers.xavier_uniform(),
+            (K * self.dim_in, self.dim_out),
+            feats.dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.constant(1e-3), (self.dim_out,), feats.dtype
+        )
+
+        sigma = jnp.asarray(self.sigma, dtype=xyz.dtype)
+        nn_k = self.n_neighbor
+
+        chunk = min(self.chunk, P2)
+        pad = (-P2) % chunk
+        idx_c = jnp.pad(nbr_idx, ((0, 0), (0, pad), (0, 0))).reshape(
+            B, -1, chunk, nn_k
+        )
+        ctr_c = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0))).reshape(
+            B, -1, chunk, 3
+        )
+        n_chunks = idx_c.shape[1]
+
+        def do_chunk(args):
+            idx, ctr = args  # (B, chunk, nn), (B, chunk, 3)
+            gx = group_points(xyz, idx) - ctr[:, :, None, :]    # (B,c,nn,3)
+            # squared distance to every rotated kernel point:
+            # |gx|^2 - 2 <gx, rk> + |rk|^2  -> (B, c, nn, A*K)
+            # 3-wide contraction -> negligible FLOPs; run at full precision so
+            # kernel weights are bit-stable under anchor permutation.
+            dots = jax.lax.dot_general(
+                gx, rk.T,
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            d2 = (
+                jnp.sum(gx * gx, axis=-1, keepdims=True)
+                - 2.0 * dots
+                + rk_sq[None, None, None, :]
+            )
+            w = jax.nn.relu(1.0 - d2 / sigma)                    # (B,c,nn,A*K)
+            w = w.reshape(B, chunk, nn_k, A, K)
+            gf = group_points(feats, idx)                        # (B,c,nn,A,C)
+            # contract neighbors: (B,c,A,K,C)
+            t = jnp.einsum("bpnak,bpnac->bpakc", w, gf)
+            # project through the kernel-channel matmul on the MXU
+            t = t.reshape(B, chunk, A, K * C)
+            out = jax.lax.dot_general(
+                t, W,
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return out + bias                                    # (B,c,A,Cout)
+
+        out = jax.lax.map(do_chunk, (jnp.moveaxis(idx_c, 1, 0), jnp.moveaxis(ctr_c, 1, 0)))
+        out = jnp.moveaxis(out, 0, 1).reshape(B, n_chunks * chunk, A, self.dim_out)
+        out = out[:, :P2]
+        return SphericalCloud(new_xyz, out), sample_idx
+
+
+class IntraSO3Conv(nn.Module):
+    """Rotation-group conv over the 12-neighbor anchor adjacency
+    (reference vgtk modules.py:131-153, functional.py:331-378)."""
+
+    dim_in: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, cloud: SphericalCloud) -> SphericalCloud:
+        xyz, feats = cloud
+        B, P, A, C = feats.shape
+        intra_idx = jnp.asarray(get_intra_idx())         # (A, 12)
+        M = intra_idx.shape[1]
+        W = self.param(
+            "W", nn.initializers.xavier_uniform(), (M * C, self.dim_out), feats.dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.constant(1e-3), (self.dim_out,), feats.dtype
+        )
+        # gather neighbor anchors: (B, P, A, 12, C)
+        g = feats[:, :, intra_idx, :]
+        g = g.reshape(B, P, A, M * C)
+        out = jax.lax.dot_general(
+            g, W,
+            dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        return SphericalCloud(xyz, out)
+
+
+class SeparableSO3ConvBlock(nn.Module):
+    """inter-conv -> intra-conv with normalized skip connection
+    (reference src/models/so3conv.py:145-183)."""
+
+    dim_in: int
+    dim_out: int
+    kernel_size: int
+    stride: int
+    radius: float
+    sigma: float
+    n_neighbor: int
+    lazy_sample: bool
+    negative_slope: float = 0.01  # torch leaky_relu default
+
+    @nn.compact
+    def __call__(self, cloud: SphericalCloud):
+        skip_feats = cloud.feats
+        inter = InterSO3Conv(
+            dim_in=self.dim_in,
+            dim_out=self.dim_out,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            radius=self.radius,
+            sigma=self.sigma,
+            n_neighbor=self.n_neighbor,
+            lazy_sample=self.lazy_sample,
+            name="inter",
+        )
+        x, sample_idx = inter(cloud)
+        h = InstanceNormPA(name="inter_norm")(x.feats)
+        h = nn.leaky_relu(h, self.negative_slope)
+        x = SphericalCloud(x.xyz, h)
+
+        x2 = IntraSO3Conv(dim_in=self.dim_out, dim_out=self.dim_out, name="intra")(x)
+        h = InstanceNormPA(name="intra_norm")(x2.feats)
+        h = nn.leaky_relu(h, self.negative_slope)
+
+        if self.stride > 1:
+            skip_feats = gather_points(skip_feats, sample_idx)
+        skip = nn.Dense(self.dim_out, use_bias=True, name="skip_conv")(skip_feats)
+        skip = InstanceNormPA(name="skip_norm")(skip)
+        skip = nn.leaky_relu(skip, self.negative_slope)
+
+        return SphericalCloud(x2.xyz, h + skip), sample_idx
+
+
+class EPNBackbone(nn.Module):
+    """Stack of separable SO(3) conv blocks (reference so3net.py:10-33 +
+    build_model schedule so3net.py:36-152; static plan precomputed by
+    etch_tpu.utils.config.backbone_plan)."""
+
+    plan: Any  # tuple of blocks, each a tuple of conv descriptor dicts
+
+    @nn.compact
+    def __call__(self, xyz: Array):
+        """xyz: (B, P, 3) -> SphericalCloud with feats (B, P', 60, C_last)."""
+        cloud = SphericalCloud(xyz, occupancy_features(xyz))
+        sample_idx_lists = []
+        for bi, block in enumerate(self.plan):
+            block_idx = []
+            for ci, conv in enumerate(block):
+                blk = SeparableSO3ConvBlock(
+                    dim_in=conv.dim_in,
+                    dim_out=conv.dim_out,
+                    kernel_size=conv.kernel_size,
+                    stride=conv.stride,
+                    radius=conv.radius,
+                    sigma=conv.sigma,
+                    n_neighbor=conv.n_neighbor,
+                    lazy_sample=conv.lazy_sample,
+                    name=f"block{bi}_conv{ci}",
+                )
+                cloud, sample_idx = blk(cloud)
+                block_idx.append(sample_idx)
+            sample_idx_lists.append(block_idx)
+        return cloud, sample_idx_lists

@@ -1,0 +1,255 @@
+"""Point Transformer U-Net heads on dense batched clouds.
+
+Rebuild of reference `src/models/pointtransformer_seg.py` (vector-attention
+layer :8-37, TransitionDown :40-68, TransitionUp :71-98, block :101-122,
+confidence net :125-195, magnitude net :199-260).
+
+TPU-first changes:
+  - dense (B, N, C) batching; the reference's offset-array ragged layout
+    (pointops) collapses because ETCH always uses equal-sized clouds
+    (src/models/models_pointcloud.py:82-92).
+  - neighbor search is the MXU-tiled brute-force kNN from etch_tpu.ops
+    instead of the CUDA register-heap kernel.
+  - BatchNorm statistics are taken over (batch, points[, neighbors]) which is
+    exactly what torch BatchNorm1d sees on the flattened (B*N, C) layout.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from etch_tpu.ops import fps, gather_points, group_points, knn, knn_interpolate
+
+Array = jnp.ndarray
+
+
+class PointTransformerLayer(nn.Module):
+    """Vector attention over k nearest neighbors (reference :8-37)."""
+
+    out_planes: int
+    share_planes: int = 8
+    nsample: int = 16
+
+    @nn.compact
+    def __call__(self, p: Array, x: Array, train: bool) -> Array:
+        # p: (B, N, 3), x: (B, N, C)
+        c = self.out_planes
+        s = self.share_planes
+        x_q = nn.Dense(c, name="linear_q")(x)
+        x_k = nn.Dense(c, name="linear_k")(x)
+        x_v = nn.Dense(c, name="linear_v")(x)
+
+        idx, _ = knn(p, p, self.nsample)                    # (B, N, ns)
+        p_r = group_points(p, idx) - p[:, :, None, :]       # (B, N, ns, 3)
+        g_k = group_points(x_k, idx)                        # (B, N, ns, c)
+        g_v = group_points(x_v, idx)
+
+        # positional encoding MLP: Linear(3,3) -> BN -> ReLU -> Linear(3,c)
+        pe = nn.Dense(3, name="linear_p0")(p_r)
+        pe = nn.BatchNorm(use_running_average=not train, name="linear_p_bn")(pe)
+        pe = nn.relu(pe)
+        pe = nn.Dense(c, name="linear_p1")(pe)              # (B, N, ns, c)
+
+        w = g_k - x_q[:, :, None, :] + pe
+        w = nn.BatchNorm(use_running_average=not train, name="linear_w_bn0")(w)
+        w = nn.relu(w)
+        w = nn.Dense(c // s, name="linear_w0")(w)
+        w = nn.BatchNorm(use_running_average=not train, name="linear_w_bn1")(w)
+        w = nn.relu(w)
+        w = nn.Dense(c // s, name="linear_w1")(w)           # (B, N, ns, c/s)
+        w = nn.softmax(w, axis=2)
+
+        B, N, ns, _ = w.shape
+        v = (g_v + pe).reshape(B, N, ns, s, c // s)
+        out = jnp.sum(v * w[:, :, :, None, :], axis=2)      # (B, N, s, c/s)
+        return out.reshape(B, N, c)
+
+
+class TransitionDown(nn.Module):
+    """FPS + kNN grouping + shared MLP + max-pool (reference :40-68)."""
+
+    out_planes: int
+    stride: int = 1
+    nsample: int = 16
+
+    @nn.compact
+    def __call__(self, p: Array, x: Array, train: bool):
+        if self.stride == 1:
+            x = nn.Dense(self.out_planes, use_bias=False)(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            return p, nn.relu(x)
+        B, N, _ = p.shape
+        M = N // self.stride
+        idx = fps(p, M)                                     # (B, M)
+        new_p = gather_points(p, idx)
+        nidx, _ = knn(new_p, p, self.nsample)               # (B, M, ns)
+        g_x = group_points(x, nidx)                         # (B, M, ns, C)
+        g_p = group_points(p, nidx) - new_p[:, :, None, :]  # (B, M, ns, 3)
+        h = jnp.concatenate([g_p, g_x], axis=-1)
+        h = nn.Dense(self.out_planes, use_bias=False)(h)
+        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.relu(h)
+        return new_p, jnp.max(h, axis=2)                    # (B, M, out)
+
+
+class TransitionUp(nn.Module):
+    """Decoder fusion (reference :71-98).  If `is_head`, fuses a global
+    summary instead of interpolating from a coarser level."""
+
+    out_planes: int
+    is_head: bool = False
+
+    @nn.compact
+    def __call__(self, p1, x1, p2=None, x2=None, train: bool = True):
+        if self.is_head:
+            mean = jnp.mean(x1, axis=1, keepdims=True)      # (B, 1, C)
+            g = nn.Dense(x1.shape[-1], name="linear2")(mean)
+            g = nn.relu(g)
+            h = jnp.concatenate([x1, jnp.broadcast_to(g, x1.shape)], axis=-1)
+            h = nn.Dense(x1.shape[-1], name="linear1")(h)
+            h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+            return nn.relu(h)
+        a = nn.Dense(self.out_planes, name="linear1")(x1)
+        a = nn.BatchNorm(use_running_average=not train, name="bn1")(a)
+        a = nn.relu(a)
+        b = nn.Dense(self.out_planes, name="linear2")(x2)
+        b = nn.BatchNorm(use_running_average=not train, name="bn2")(b)
+        b = nn.relu(b)
+        return a + knn_interpolate(p2, p1, b, k=3, use_sqrt=True)
+
+
+class PointTransformerBlock(nn.Module):
+    """Residual block around the vector-attention layer (reference :101-122)."""
+
+    planes: int
+    share_planes: int = 8
+    nsample: int = 16
+
+    @nn.compact
+    def __call__(self, p: Array, x: Array, train: bool) -> Array:
+        identity = x
+        h = nn.Dense(self.planes, use_bias=False, name="linear1")(x)
+        h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+        h = nn.relu(h)
+        h = PointTransformerLayer(
+            out_planes=self.planes,
+            share_planes=self.share_planes,
+            nsample=self.nsample,
+            name="transformer2",
+        )(p, h, train)
+        h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.planes, use_bias=False, name="linear3")(h)
+        h = nn.BatchNorm(use_running_average=not train, name="bn3")(h)
+        return nn.relu(h + identity)
+
+
+class PointTransformerUNet(nn.Module):
+    """Shared 5-level encoder/decoder trunk (reference :125-260).
+
+    Returns per-point features at full resolution, (B, N, planes[0]).
+    """
+
+    planes: Sequence[int]
+    blocks: Sequence[int] = (2, 3, 4, 6, 3)
+    strides: Sequence[int] = (1, 4, 4, 4, 4)
+    nsamples: Sequence[int] = (8, 16, 16, 16, 16)
+    share_planes: int = 8
+
+    @nn.compact
+    def __call__(self, p: Array, x: Array, train: bool) -> Array:
+        skips = []
+        for lvl in range(5):
+            p, x = TransitionDown(
+                out_planes=self.planes[lvl],
+                stride=self.strides[lvl],
+                nsample=self.nsamples[lvl],
+                name=f"enc{lvl+1}_down",
+            )(p, x, train)
+            for b in range(1, self.blocks[lvl]):
+                x = PointTransformerBlock(
+                    planes=self.planes[lvl],
+                    share_planes=self.share_planes,
+                    nsample=self.nsamples[lvl],
+                    name=f"enc{lvl+1}_block{b}",
+                )(p, x, train)
+            skips.append((p, x))
+
+        # decoder head at the coarsest level
+        p5, x5 = skips[4]
+        x = TransitionUp(out_planes=self.planes[4], is_head=True, name="dec5_up")(
+            p5, x5, train=train
+        )
+        x = PointTransformerBlock(
+            planes=self.planes[4],
+            share_planes=self.share_planes,
+            nsample=self.nsamples[4],
+            name="dec5_block1",
+        )(p5, x, train)
+
+        for lvl in range(3, -1, -1):
+            p_f, x_f = skips[lvl]
+            p_c = skips[lvl + 1][0]
+            x = TransitionUp(out_planes=self.planes[lvl], name=f"dec{lvl+1}_up")(
+                p_f, x_f, p_c, x, train=train
+            )
+            x = PointTransformerBlock(
+                planes=self.planes[lvl],
+                share_planes=self.share_planes,
+                nsample=self.nsamples[lvl],
+                name=f"dec{lvl+1}_block1",
+            )(p_f, x, train)
+        return x
+
+
+class PointTransformerSeg(nn.Module):
+    """Magnitude / confidence task heads over the shared trunk.
+
+    mode="magnitude": scalar per point (reference :199-260).
+    mode="confidence": (part_logits (B,N,k), confidence (B,N,1))
+      via the softmax-weighted per-part grouped head (reference :125-195).
+    """
+
+    mode: str
+    num_classes: int = 1
+    planes: Sequence[int] = (64, 128, 256, 256, 512)
+
+    @nn.compact
+    def __call__(self, p: Array, feat: Array, train: bool = True):
+        x = jnp.concatenate([p, feat], axis=-1)
+        h = PointTransformerUNet(planes=self.planes, name="unet")(p, x, train)
+        B, N, c0 = h.shape
+
+        if self.mode == "magnitude":
+            y = nn.Dense(c0, name="final0")(h)
+            y = nn.BatchNorm(use_running_average=not train, name="final_bn")(y)
+            y = nn.relu(y)
+            return nn.Dense(1, name="final1")(y)            # (B, N, 1)
+
+        assert self.mode == "confidence"
+        k = self.num_classes
+        # classification branch (reference :144)
+        y = nn.Dense(c0, name="cls0")(h)
+        y = nn.BatchNorm(use_running_average=not train, name="cls_bn")(y)
+        y = nn.relu(y)
+        logits = nn.Dense(k, name="cls1")(y)                # (B, N, k)
+
+        # per-part confidence branch: Conv1d(c0, c0*k) -> ReLU -> grouped
+        # Conv1d(c0*k, k, groups=k) (reference :145).  The grouped conv is a
+        # per-class (c0 -> 1) projection, expressed as an einsum.
+        z = nn.Dense(c0 * k, name="confi0")(h)
+        z = nn.relu(z)
+        z = z.reshape(B, N, k, c0)
+        Wg = self.param(
+            "confi1_w", nn.initializers.xavier_uniform(), (k, c0), z.dtype
+        )
+        bg = self.param("confi1_b", nn.initializers.zeros, (k,), z.dtype)
+        per_part = jnp.einsum("bnkc,kc->bnk", z, Wg) + bg   # (B, N, k)
+
+        parts_softmax = nn.softmax(logits, axis=-1)
+        confidence = jnp.sum(per_part * parts_softmax, axis=-1, keepdims=True)
+        return logits, confidence

@@ -44,18 +44,23 @@ def ball_query(
                 qt, s.T, precision=jax.lax.Precision.HIGHEST
             )                                             # (chunk, N)
             mask = d2 < r2
-            # top-k of (N - i) under the mask == the nsample smallest indices
+            # top-k of (N - i) under the mask == the k smallest indices
             # inside the ball, emitted in ascending index order.
+            k_eff = min(nsample, N)
             scores = jnp.where(mask, rev_iota[None, :], 0)
-            vals, _ = jax.lax.top_k(scores, nsample)      # descending scores
+            vals, _ = jax.lax.top_k(scores, k_eff)        # descending scores
             hit = vals > 0
             idx = jnp.where(hit, N - vals, 0).astype(jnp.int32)
             cnt = jnp.sum(mask, axis=-1).astype(jnp.int32)  # (chunk,)
-            cnt_c = jnp.maximum(jnp.minimum(cnt, nsample), 1)
+            cnt_c = jnp.maximum(jnp.minimum(cnt, k_eff), 1)
             j = jnp.arange(nsample, dtype=jnp.int32)[None, :]
-            wrapped = j % cnt_c[:, None]
-            fill = jnp.take_along_axis(idx, wrapped, axis=1)
-            return jnp.where(hit, idx, fill)
+            wrapped = j % cnt_c[:, None]                   # (chunk, nsample)
+            fill = jnp.take_along_axis(
+                idx, jnp.minimum(wrapped, k_eff - 1), axis=1
+            )
+            hit_full = j < cnt_c[:, None]
+            first = jnp.take_along_axis(idx, jnp.minimum(j, k_eff - 1), axis=1)
+            return jnp.where(hit_full, first, fill)
 
         out = jax.lax.map(do_chunk, qc)
         return out.reshape(-1, nsample)[:M]

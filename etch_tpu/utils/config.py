@@ -91,7 +91,13 @@ def backbone_plan(cfg: EtchConfig):
     mlps = [[32, 32], [64, 64], [128, 128], [256, 256]][: cfg.epn_layer_num]
     strides = [2, 2, 2, 2][: cfg.epn_layer_num]
 
-    input_num = cfg.num_point
+    # NOTE: the schedule is driven by the *nominal* input_num from the EPN
+    # config (1024), not the actual point count — the reference never wires
+    # --num_point into opt.model.input_num (src/models/models_pointcloud.py:
+    # 30-32 only overrides search_radius), so the >1024 rescale at
+    # so3net.py:58-61 is dead in practice.  We keep the arithmetic for parity
+    # but feed it the same nominal value.
+    input_num = cfg.epn.input_num
     sampling_ratio = cfg.epn.sampling_ratio
     if input_num > 1024:
         sampling_ratio /= input_num / 1024
@@ -118,7 +124,7 @@ def backbone_plan(cfg: EtchConfig):
 
     blocks = []
     dim_in = 1
-    n_in = input_num  # current point count entering the conv
+    n_in = cfg.num_point  # actual point count entering the conv
     for i, block in enumerate(mlps):
         block_param = []
         for j, dim_out in enumerate(block):

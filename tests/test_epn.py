@@ -1,0 +1,75 @@
+"""EPN backbone tests: shapes, and the SE(3) (rotation) equivariance property
+that defines the architecture.
+
+The equivariance contract (implicit in the reference design,
+external/vgtk/vgtk/so3conv/*): rotating the input cloud by a group element g
+permutes the 60 anchor channels by p_g and rotates the center coordinates,
+leaving feature values unchanged.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from etch_tpu.geometry import anchor_permutation, get_anchors
+from etch_tpu.nn.epn import EPNBackbone, SphericalCloud, occupancy_features
+from etch_tpu.models.etch_net import _freeze_plan
+from etch_tpu.utils.config import EtchConfig, backbone_plan
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = EtchConfig(num_point=128, epn_layer_num=2)
+    plan = _freeze_plan(backbone_plan(cfg))
+    model = EPNBackbone(plan=plan)
+    rng = np.random.RandomState(0)
+    # points on a sphere of radius 0.2: spacing ~0.06 < first conv radius
+    # 0.08, so balls are populated (matches human-scan density the radii are
+    # sized for)
+    v = rng.randn(1, 128, 3).astype(np.float32)
+    xyz = 0.2 * v / np.linalg.norm(v, axis=-1, keepdims=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(xyz))
+    return cfg, plan, model, xyz, params
+
+
+def test_backbone_shapes(tiny_setup):
+    cfg, plan, model, xyz, params = tiny_setup
+    (cloud, idx_lists) = model.apply(params, jnp.asarray(xyz))
+    # plan: 128 -> 64 (stride2) -> 64 -> 32 (stride2) -> 32
+    assert cloud.xyz.shape == (1, 32, 3)
+    assert cloud.feats.shape == (1, 32, 60, 64)
+    assert len(idx_lists) == 2 and len(idx_lists[0]) == 2
+
+
+def test_backbone_finite(tiny_setup):
+    cfg, plan, model, xyz, params = tiny_setup
+    (cloud, _) = model.apply(params, jnp.asarray(xyz))
+    assert np.isfinite(np.asarray(cloud.feats)).all()
+    assert np.abs(np.asarray(cloud.feats)).max() > 0
+
+
+def test_backbone_equivariance(tiny_setup):
+    cfg, plan, model, xyz, params = tiny_setup
+    anchors = get_anchors()
+    g = anchors[17]
+    perm = anchor_permutation(g)
+
+    out1, _ = model.apply(params, jnp.asarray(xyz))
+    out2, _ = model.apply(params, jnp.asarray(xyz @ g.T))
+
+    # rotated centers
+    np.testing.assert_allclose(
+        np.asarray(out2.xyz), np.asarray(out1.xyz) @ g.T, atol=1e-3
+    )
+    # permuted anchor channels: feats2[..., perm[a], :] == feats1[..., a, :]
+    f1 = np.asarray(out1.feats)
+    f2 = np.asarray(out2.feats)
+    np.testing.assert_allclose(f2[:, :, perm, :], f1, atol=2e-3)
+
+
+def test_occupancy_features():
+    xyz = jnp.zeros((2, 10, 3))
+    f = occupancy_features(xyz)
+    assert f.shape == (2, 10, 60, 1)
+    assert float(f.min()) == 1.0
