@@ -18,6 +18,7 @@ npz outputs stay drop-in compatible with the reference's
 from __future__ import annotations
 
 import dataclasses
+import functools
 import io
 import pickle
 from typing import Optional
@@ -216,6 +217,14 @@ def smpl_forward(
     return verts, joints
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "m_template", "m_shapedirs", "m_posedirs", "m_weights",
+        "J_template", "J_shapedirs",
+    ],
+    meta_fields=["parents"],
+)
 @dataclasses.dataclass(frozen=True)
 class MarkerSubModel:
     """SMPL restricted to a marker vertex subset — the fitting loop only needs
@@ -229,7 +238,7 @@ class MarkerSubModel:
     m_weights: jnp.ndarray     # (M, 24)
     J_template: jnp.ndarray    # (24, 3)
     J_shapedirs: jnp.ndarray   # (24, 3, n_betas)
-    parents: np.ndarray
+    parents: tuple             # static metadata (hashable for jit caching)
 
 
 def marker_submodel(model: SMPLModel, marker_vids: np.ndarray) -> MarkerSubModel:
@@ -243,7 +252,7 @@ def marker_submodel(model: SMPLModel, marker_vids: np.ndarray) -> MarkerSubModel
         m_weights=model.lbs_weights[vids],
         J_template=jnp.einsum("jv,vc->jc", model.J_regressor, model.v_template),
         J_shapedirs=jnp.einsum("jv,vcs->jcs", model.J_regressor, model.shapedirs),
-        parents=np.asarray(model.parents),
+        parents=tuple(int(p) for p in np.asarray(model.parents)),
     )
 
 

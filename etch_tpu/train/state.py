@@ -1,0 +1,102 @@
+"""Train state and jitted train step.
+
+Replaces the reference loop body (`src/train.py:60-140`): Adam(1e-4), loss
+sum, NaN-loss skip and NaN-gradient zeroing (train.py:111-123), now expressed
+as a single jitted step with BatchNorm batch_stats threading and data-parallel
+sharding over a 1-D mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from etch_tpu.models.etch_net import EtchNet
+from etch_tpu.train.losses import compute_losses
+from etch_tpu.utils.config import EtchConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(
+    cfg: EtchConfig, rng: jax.Array, example_points: jnp.ndarray
+) -> Tuple[EtchNet, TrainState, optax.GradientTransformation]:
+    model = EtchNet(cfg=cfg)
+    variables = model.init(rng, example_points, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+    state = TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, state, tx
+
+
+def make_train_step(model: EtchNet, tx: optax.GradientTransformation, cfg: EtchConfig):
+    """Build the jitted train step.  Shard the batch over a data mesh before
+    calling; XLA inserts the gradient collectives."""
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["hitpts"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        losses = compute_losses(
+            cfg, outputs, batch["vectors"], batch["confidences"], batch["labels"]
+        )
+        return losses["all_loss"], (losses, mutated["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (loss, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+
+        # NaN protection (reference train.py:111-123): a NaN loss skips the
+        # update; NaN gradients are zeroed.
+        grads = jax.tree.map(jnp.nan_to_num, grads)
+        loss_ok = jnp.isfinite(loss)
+        grads = jax.tree.map(
+            lambda g: jnp.where(loss_ok, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(model: EtchNet):
+    @jax.jit
+    def eval_step(state: TrainState, hitpts: jnp.ndarray):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            hitpts,
+            train=False,
+        )
+
+    return eval_step
