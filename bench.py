@@ -1,0 +1,79 @@
+"""End-to-end benchmark: scans/sec for predict (network forward) + SMPL fit.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measures the full per-scan pipeline at the reference's default shapes
+(N=5000 points, 60 anchors, 86 markers, two-stage 30+50-iteration LM fit —
+src/train.py:163, fit_SMPL.py:68) with random weights (no trained checkpoint
+is required to measure throughput; the compute graph is identical).
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.md); the denominator below is a conservative estimate of the CUDA
+reference's end-to-end rate (forward + Theseus LM with 80 full-body LBS
+iterations + autodiff Jacobians on a datacenter GPU ~= 1 scan/sec).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Assumed reference end-to-end rate (scans/sec) for the vs_baseline ratio.
+BASELINE_SCANS_PER_SEC = 1.0
+
+BATCH = int(os.environ.get("ETCH_BENCH_BATCH", "4"))
+NUM_POINT = int(os.environ.get("ETCH_BENCH_POINTS", "5000"))
+REPS = int(os.environ.get("ETCH_BENCH_REPS", "5"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from etch_tpu.pipeline import build_pipeline
+    from etch_tpu.utils.config import EtchConfig
+
+    cfg = EtchConfig(num_point=NUM_POINT, batch_size=BATCH)
+    # 86-marker superset ids spread over the synthetic body if no SMPL pkl
+    markerset = {f"M{i}": int(v) for i, v in enumerate(
+        np.linspace(0, 6889, 86).astype(int)
+    )}
+    pipe = build_pipeline(
+        cfg, markerset, checkpoint_path=None, allow_synthetic_body=True
+    )
+
+    rng = np.random.RandomState(0)
+    # human-scan-like cloud: points on a scaled vertical capsule
+    z = rng.uniform(-0.9, 0.9, (BATCH, NUM_POINT))
+    th = rng.uniform(0, 2 * np.pi, (BATCH, NUM_POINT))
+    r = 0.15 + 0.03 * np.cos(3 * z)
+    pts = np.stack([r * np.cos(th), r * np.sin(th), z], axis=-1).astype(np.float32)
+
+    def run_once():
+        pred = pipe.predict(pts)
+        verts, params, markers, valid, joints = pipe.fit(
+            pred["inner_points"], pred["part_labels"], pred["confidences"]
+        )
+        jax.block_until_ready(verts)
+        return verts
+
+    run_once()  # compile
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        run_once()
+    dt = (time.perf_counter() - t0) / REPS
+    scans_per_sec = BATCH / dt
+
+    print(json.dumps({
+        "metric": "end_to_end_scans_per_sec",
+        "value": round(scans_per_sec, 4),
+        "unit": "scans/sec (predict+fit, N=5000, batch=%d)" % BATCH,
+        "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
