@@ -1,0 +1,117 @@
+"""Training CLI (reference src/train.py parity).
+
+Usage:
+  python -m etch_tpu.cli.train --scan_dir ... --smpl_dir ... --infopoints_dir ...
+
+Runs data-parallel over all local TPU devices; per-epoch orbax checkpoints and
+JSONL loss curves under the experiment folder (reference saves .pth + png
+curves, train.py:28-58,248-252).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from etch_tpu.cli.common import add_data_args, add_model_args, config_from_args, load_markerset
+from etch_tpu.data.dataset import DatasetPaths, GTDataset, batch_iterator
+from etch_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from etch_tpu.train.checkpoint import save_train_state
+from etch_tpu.train.state import create_train_state, make_train_step
+from etch_tpu.utils.logging import MetricLogger
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    add_model_args(p)
+    add_data_args(p)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--direction_w", type=float, default=1.0)
+    p.add_argument("--magnitude_w", type=float, default=1.0)
+    p.add_argument("--part_label_w", type=float, default=1.0)
+    p.add_argument("--confidence_w", type=float, default=1.0)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--output_folder", type=str, default=None)
+    p.add_argument("--i", type=str, default=None)
+    args = p.parse_args(argv)
+
+    cfg = config_from_args(args)
+
+    # experiment folder auto-naming (reference train.py:185-195)
+    if args.output_folder is None:
+        name = (
+            f"EPN_layer_{cfg.epn_layer_num}_radius_{cfg.epn_input_radius}"
+            f"_num_point_{cfg.num_point}"
+        )
+        if args.i:
+            name += f"_{args.i}"
+        args.output_folder = os.path.join("all_experiments/experiments", name)
+    os.makedirs(args.output_folder, exist_ok=True)
+    with open(os.path.join(args.output_folder, "training_args.json"), "w") as f:
+        json.dump(vars(args), f, indent=4, default=str)
+
+    markerset = load_markerset(args.markerset_path)
+    marker_vids = list(markerset.values())
+
+    dataset = GTDataset(
+        DatasetPaths(
+            scan_dir=args.scan_dir,
+            smpl_dir=args.smpl_dir,
+            infopoints_dir=args.infopoints_dir,
+            activated_ids_path=args.activated_ids_path,
+        ),
+        num_point=cfg.num_point,
+        marker_vertex_ids=marker_vids,
+        seed=cfg.seed,
+    )
+    print(f"Num of data: {len(dataset)}")
+
+    mesh = make_mesh()
+    rng = jax.random.PRNGKey(cfg.seed)
+    example = jnp.zeros((1, cfg.num_point, 3), jnp.float32)
+    model, state, tx = create_train_state(cfg, rng, example)
+    state = replicate(mesh, state)
+    train_step = make_train_step(model, tx, cfg)
+
+    logger = MetricLogger(os.path.join(args.output_folder, "log_all"))
+
+    for epoch in range(cfg.epochs):
+        epoch_losses = defaultdict(float)
+        nb = 0
+        t0 = time.time()
+        for batch in batch_iterator(
+            dataset, cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
+            num_workers=args.num_workers,
+        ):
+            arrays = {
+                k: batch[k] for k in ("hitpts", "vectors", "confidences", "labels")
+            }
+            arrays = shard_batch(mesh, arrays)
+            state, losses = train_step(state, arrays)
+            nb += 1
+            for k, v in losses.items():
+                epoch_losses[k] += float(v)
+        for k in epoch_losses:
+            epoch_losses[k] /= max(nb, 1)
+        epoch_losses["epoch_time_s"] = time.time() - t0
+        logger.log(epoch, epoch_losses)
+        print(f"epoch {epoch}: " + ", ".join(
+            f"{k}={v:.5f}" for k, v in epoch_losses.items()
+        ))
+        save_train_state(
+            os.path.join(args.output_folder, "checkpoints"), epoch, state
+        )
+    logger.plot()
+
+
+if __name__ == "__main__":
+    main()
