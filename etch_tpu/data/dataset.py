@@ -86,6 +86,7 @@ def load_item(
     seed: int = 1,
     center: bool = False,
     rotate_y: Optional[float] = None,
+    include_marker_positions: bool = False,
 ) -> Dict[str, np.ndarray]:
     """One training item (GT_dataloader.py:85-180).  `center` and `rotate_y`
     enable the mixed-variant preprocessing (GT_dataloader_mixed.py:176-199)."""
@@ -145,7 +146,7 @@ def load_item(
     smpl_info = np.load(smpl_info_path)
     gender = GENDER_NAMES.get(int(np.asarray(smpl_info["gender"]).item()), "neutral")
 
-    return {
+    item = {
         "id": id_,
         "hitpts": sample_points.astype(np.float32),
         "vectors": vectors.astype(np.float32),
@@ -153,6 +154,16 @@ def load_item(
         "labels": labels.astype(np.int32),
         "gender": gender,
     }
+    if include_marker_positions:
+        # marker positions on the SMPL mesh (GT_dataloader_mixed marker
+        # export; used by the dynamic relabel path, train_mixed.py:124-158)
+        mk = smpl_mesh.vertices[np.asarray(marker_vertex_ids)]
+        if rotate_y is not None:
+            ca, sa = np.cos(rotate_y), np.sin(rotate_y)
+            R = np.array([[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]])
+            mk = mk @ R.T
+        item["markers_positions"] = mk.astype(np.float32)
+    return item
 
 
 class GTDataset:
@@ -166,6 +177,7 @@ class GTDataset:
         seed: int = 1,
         center: bool = False,
         augment_rotation: bool = False,
+        include_marker_positions: bool = False,
     ):
         self.paths = paths
         self.num_point = num_point
@@ -173,6 +185,7 @@ class GTDataset:
         self.seed = seed
         self.center = center
         self.augment_rotation = augment_rotation
+        self.include_marker_positions = include_marker_positions
         self.ids = list_ids(paths)
 
     def __len__(self):
@@ -194,6 +207,7 @@ class GTDataset:
             seed=self.seed,
             center=self.center,
             rotate_y=rot,
+            include_marker_positions=self.include_marker_positions,
         )
 
 
@@ -233,7 +247,7 @@ def batch_iterator(
     n = len(order) - (len(order) % batch_size if drop_last else 0)
 
     def stack(items):
-        return {
+        out = {
             "id": [it["id"] for it in items],
             "gender": [it["gender"] for it in items],
             "hitpts": np.stack([it["hitpts"] for it in items]),
@@ -241,6 +255,11 @@ def batch_iterator(
             "confidences": np.stack([it["confidences"] for it in items]),
             "labels": np.stack([it["labels"] for it in items]),
         }
+        if "markers_positions" in items[0]:
+            out["markers_positions"] = np.stack(
+                [it["markers_positions"] for it in items]
+            )
+        return out
 
     if num_workers <= 0:
         for s in range(0, n, batch_size):

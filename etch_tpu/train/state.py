@@ -90,6 +90,60 @@ def make_train_step(model: EtchNet, tx: optax.GradientTransformation, cfg: EtchC
     return train_step
 
 
+def make_train_step_dynamic(
+    model: EtchNet, tx: optax.GradientTransformation, cfg: EtchConfig
+):
+    """Train step with dynamic label/confidence regeneration (reference
+    train_mixed.py:124-158): labels come from the nearest marker to the
+    *predicted* inner point, confidence = exp(-10 * distance).
+
+    The reference does this on the host with a per-batch cKDTree loop; over
+    only 86 markers a brute-force argmin on device is cheaper and keeps the
+    step fully jitted.
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["hitpts"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        inner = jax.lax.stop_gradient(
+            batch["hitpts"]
+            - outputs["direction"] * outputs["magnitude"] / cfg.scale_magnitude
+        )
+        markers = batch["markers_positions"]            # (B, M, 3)
+        d = jnp.linalg.norm(
+            inner[:, :, None, :] - markers[:, None, :, :], axis=-1
+        )                                               # (B, N, M)
+        labels = jnp.argmin(d, axis=-1)
+        conf = jnp.exp(-10.0 * jnp.min(d, axis=-1))[..., None]
+        losses = compute_losses(
+            cfg, outputs, batch["vectors"], conf, labels
+        )
+        return losses["all_loss"], (losses, mutated["batch_stats"])
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (loss, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        grads = jax.tree.map(jnp.nan_to_num, grads)
+        loss_ok = jnp.isfinite(loss)
+        grads = jax.tree.map(
+            lambda g: jnp.where(loss_ok, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(
+            params=new_params, batch_stats=new_stats,
+            opt_state=new_opt, step=state.step + 1,
+        ), losses
+
+    return train_step
+
+
 def make_eval_step(model: EtchNet):
     @jax.jit
     def eval_step(state: TrainState, hitpts: jnp.ndarray):
