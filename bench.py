@@ -21,6 +21,10 @@ import time
 
 import numpy as np
 
+# persistent compile cache: repeated bench runs skip the large first compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_etch_bench")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 # Assumed reference end-to-end rate (scans/sec) for the vs_baseline ratio.
 BASELINE_SCANS_PER_SEC = 1.0
 

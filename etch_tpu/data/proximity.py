@@ -77,19 +77,36 @@ def _closest_point_on_triangles(p: np.ndarray, tri: np.ndarray) -> np.ndarray:
     return out
 
 
-class MeshProximity:
-    """KD-tree-pruned closest-point queries against one mesh."""
+def _try_native_bvh(mesh: TriMesh):
+    try:
+        from etch_tpu import native
 
-    def __init__(self, mesh: TriMesh, n_candidates: int = 16):
+        if native.available():
+            return native.NativeBVH(mesh.vertices, mesh.faces)
+    except Exception:
+        pass
+    return None
+
+
+class MeshProximity:
+    """Closest-point queries against one mesh.
+
+    Uses the native C++ BVH (etch_tpu.native) when buildable — exact over all
+    faces — with a KD-tree-pruned numpy fallback."""
+
+    def __init__(self, mesh: TriMesh, n_candidates: int = 16, use_native: bool = True):
         self.mesh = mesh
+        self._bvh = _try_native_bvh(mesh) if use_native else None
         self.tri = mesh.vertices[mesh.faces]           # (F, 3, 3)
         self.centroids = self.tri.mean(axis=1)
-        self.tree = cKDTree(self.centroids)
+        self.tree = None if self._bvh is not None else cKDTree(self.centroids)
         self.n_candidates = min(n_candidates, len(mesh.faces))
 
     def closest_point(self, points: np.ndarray):
         """(Q, 3) -> (closest (Q, 3), distance (Q,), face_index (Q,))."""
         q = np.asarray(points, np.float64)
+        if self._bvh is not None:
+            return self._bvh.closest_point(q)
         _, cand = self.tree.query(q, k=self.n_candidates)
         if cand.ndim == 1:
             cand = cand[:, None]
@@ -137,11 +154,12 @@ class MeshRayCaster:
     ray segment (good enough for the short rays of the GT generator, which are
     capped at 0.16 m — generate_infopoints.py:127-174)."""
 
-    def __init__(self, mesh: TriMesh, max_dist: float = 0.5):
+    def __init__(self, mesh: TriMesh, max_dist: float = 0.5, use_native: bool = True):
         self.mesh = mesh
+        self._bvh = _try_native_bvh(mesh) if use_native else None
         self.tri = mesh.vertices[mesh.faces]
         self.centroids = self.tri.mean(axis=1)
-        self.tree = cKDTree(self.centroids)
+        self.tree = None if self._bvh is not None else cKDTree(self.centroids)
         self.max_dist = max_dist
         # conservative search radius: face circumradius upper bound
         edge = np.linalg.norm(
@@ -158,6 +176,8 @@ class MeshRayCaster:
         q = np.asarray(origins, np.float64)
         d = np.asarray(directions, np.float64)
         d = d / np.clip(np.linalg.norm(d, axis=1, keepdims=True), 1e-20, None)
+        if self._bvh is not None:
+            return self._bvh.raycast(q, d, self.max_dist)
         mid = q + d * (self.max_dist / 2.0)
         k = min(k, len(self.centroids))
         _, cand = self.tree.query(mid, k=k)

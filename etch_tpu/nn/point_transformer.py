@@ -35,15 +35,19 @@ class PointTransformerLayer(nn.Module):
     nsample: int = 16
 
     @nn.compact
-    def __call__(self, p: Array, x: Array, train: bool) -> Array:
-        # p: (B, N, 3), x: (B, N, C)
+    def __call__(self, p: Array, x: Array, train: bool, idx: Array = None) -> Array:
+        # p: (B, N, 3), x: (B, N, C); idx: optional precomputed (B, N, ns)
+        # neighbor indices (the U-Net computes them once per level instead of
+        # once per block — the reference re-queries in every layer,
+        # pointtransformer_seg.py:28-29)
         c = self.out_planes
         s = self.share_planes
         x_q = nn.Dense(c, name="linear_q")(x)
         x_k = nn.Dense(c, name="linear_k")(x)
         x_v = nn.Dense(c, name="linear_v")(x)
 
-        idx, _ = knn(p, p, self.nsample)                    # (B, N, ns)
+        if idx is None:
+            idx, _ = knn(p, p, self.nsample)                # (B, N, ns)
         p_r = group_points(p, idx) - p[:, :, None, :]       # (B, N, ns, 3)
         g_k = group_points(x_k, idx)                        # (B, N, ns, c)
         g_v = group_points(x_v, idx)
@@ -83,7 +87,7 @@ class TransitionDown(nn.Module):
             x = nn.BatchNorm(use_running_average=not train)(x)
             return p, nn.relu(x)
         B, N, _ = p.shape
-        M = N // self.stride
+        M = max(1, N // self.stride)
         idx = fps(p, M)                                     # (B, M)
         new_p = gather_points(p, idx)
         nidx, _ = knn(new_p, p, self.nsample)               # (B, M, ns)
@@ -130,7 +134,7 @@ class PointTransformerBlock(nn.Module):
     nsample: int = 16
 
     @nn.compact
-    def __call__(self, p: Array, x: Array, train: bool) -> Array:
+    def __call__(self, p: Array, x: Array, train: bool, idx: Array = None) -> Array:
         identity = x
         h = nn.Dense(self.planes, use_bias=False, name="linear1")(x)
         h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
@@ -140,7 +144,7 @@ class PointTransformerBlock(nn.Module):
             share_planes=self.share_planes,
             nsample=self.nsample,
             name="transformer2",
-        )(p, h, train)
+        )(p, h, train, idx=idx)
         h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
         h = nn.relu(h)
         h = nn.Dense(self.planes, use_bias=False, name="linear3")(h)
@@ -163,6 +167,7 @@ class PointTransformerUNet(nn.Module):
     @nn.compact
     def __call__(self, p: Array, x: Array, train: bool) -> Array:
         skips = []
+        level_idx = []   # per-level self-kNN, shared by all blocks at a level
         for lvl in range(5):
             p, x = TransitionDown(
                 out_planes=self.planes[lvl],
@@ -170,13 +175,15 @@ class PointTransformerUNet(nn.Module):
                 nsample=self.nsamples[lvl],
                 name=f"enc{lvl+1}_down",
             )(p, x, train)
+            idx, _ = knn(p, p, min(self.nsamples[lvl], p.shape[1]))
+            level_idx.append(idx)
             for b in range(1, self.blocks[lvl]):
                 x = PointTransformerBlock(
                     planes=self.planes[lvl],
                     share_planes=self.share_planes,
                     nsample=self.nsamples[lvl],
                     name=f"enc{lvl+1}_block{b}",
-                )(p, x, train)
+                )(p, x, train, idx=idx)
             skips.append((p, x))
 
         # decoder head at the coarsest level
@@ -189,7 +196,7 @@ class PointTransformerUNet(nn.Module):
             share_planes=self.share_planes,
             nsample=self.nsamples[4],
             name="dec5_block1",
-        )(p5, x, train)
+        )(p5, x, train, idx=level_idx[4])
 
         for lvl in range(3, -1, -1):
             p_f, x_f = skips[lvl]
@@ -202,7 +209,7 @@ class PointTransformerUNet(nn.Module):
                 share_planes=self.share_planes,
                 nsample=self.nsamples[lvl],
                 name=f"dec{lvl+1}_block1",
-            )(p_f, x, train)
+            )(p_f, x, train, idx=level_idx[lvl])
         return x
 
 
