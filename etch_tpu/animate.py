@@ -180,7 +180,7 @@ def repose_vertices(
     T_raw = jnp.where((jnp.abs(det) < 1e-10)[:, None, None], eye, T_raw)
 
     vh = jnp.concatenate([verts, jnp.ones((V, 1), verts.dtype)], axis=1)
-    rest = jnp.linalg.solve(T_raw, vh)                      # T_raw^-1 x
+    rest = jnp.linalg.solve(T_raw, vh[..., None])[..., 0]   # T_raw^-1 x
     T_new = jnp.einsum("vk,kij->vij", weights, A_new)
     out = jnp.einsum("vij,vj->vi", T_new, rest)
     return out[:, :3]
