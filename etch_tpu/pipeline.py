@@ -87,19 +87,18 @@ class InferencePipeline:
         self.sub = marker_submodel(body_model, self.marker_vids)
 
         @jax.jit
-        def _forward(points):
-            return self.model.apply(
-                {"params": self.params, "batch_stats": self.batch_stats},
-                points,
-                train=False,
-            )
+        def _forward(variables, points):
+            # params passed as arguments (not closure constants): embedding
+            # weights as HLO constants slows lowering and bloats the program
+            return self.model.apply(variables, points, train=False)
 
         self._forward = _forward
+        self._variables = {"params": params, "batch_stats": batch_stats}
 
     def predict(self, points: np.ndarray):
         """points: (B, N, 3) -> dict with vectors/labels/confidences/inner."""
         pts = jnp.asarray(points, jnp.float32)
-        results = self._forward(pts)
+        results = self._forward(self._variables, pts)
         vectors = (
             results["direction"] * results["magnitude"] / self.cfg.scale_magnitude
         )

@@ -6,6 +6,7 @@ from scipy.spatial.transform import Rotation as sciR
 from etch_tpu.geometry.so3 import (
     matrix_to_quaternion,
     project_to_so3,
+    project_to_so3_svd,
     quaternion_to_matrix,
     rodrigues,
     rotation_6d_to_matrix,
@@ -65,6 +66,18 @@ def test_project_to_so3_is_rotation():
     eye = np.einsum("bij,bkj->bik", R, R)
     np.testing.assert_allclose(eye, np.tile(np.eye(3), (20, 1, 1)), atol=1e-5)
     np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_davenport_matches_svd_projection():
+    """The quaternion (Davenport) projection equals the SVD-with-det-fix
+    projection for generic matrices, including det<0 cases."""
+    rng = np.random.RandomState(7)
+    C = rng.randn(64, 3, 3).astype(np.float32)
+    # make some det-negative entries explicit
+    C[:8, :, 2] *= -1.0
+    Rq = np.asarray(project_to_so3(C))
+    Rs = np.asarray(project_to_so3_svd(C))
+    np.testing.assert_allclose(Rq, Rs, atol=2e-4)
 
 
 def test_so3_mean_recovers_common_rotation():
