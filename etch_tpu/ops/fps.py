@@ -52,11 +52,14 @@ def fps(xyz: jnp.ndarray, m: int, lazy: bool = False) -> jnp.ndarray:
         return jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (B, m))
     if m > N:
         raise ValueError(f"fps: m={m} > N={N}")
-    try:
-        from etch_tpu.ops.pallas_fps import fps_pallas
-        import jax as _jax
-        if _jax.default_backend() == "tpu":
-            return fps_pallas(xyz, m)
-    except Exception:
-        pass
+    # Pallas path for large clouds on TPU; tiny clouds stay on the XLA loop
+    # (negligible cost there, and Mosaic miscompiles some sub-128 configs).
+    if N >= 256:
+        try:
+            from etch_tpu.ops.pallas_fps import fps_pallas
+            import jax as _jax
+            if _jax.default_backend() == "tpu":
+                return fps_pallas(xyz, m)
+        except Exception:
+            pass
     return _fps_xla(xyz, m)
