@@ -61,14 +61,25 @@ def main():
         verts, params, markers, valid, joints = pipe.fit(
             pred["inner_points"], pred["part_labels"], pred["confidences"]
         )
-        jax.block_until_ready(verts)
-        return verts
+        # NOTE: on the axon remote backend block_until_ready does not block;
+        # fetching a scalar derived from the outputs is the only reliable
+        # synchronization, at the cost of one tunnel roundtrip (~40 ms).
+        return float(jnp.sum(verts) + jnp.sum(markers))
 
-    run_once()  # compile
+    run_once()  # compile + warm
+    # measure the tunnel roundtrip to subtract it from per-rep time
+    tiny = jax.jit(lambda x: x + 1)
+    tiny(jnp.zeros(())).item()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        tiny(jnp.zeros(())).item()
+    latency = (time.perf_counter() - t0) / 5
+
     t0 = time.perf_counter()
     for _ in range(REPS):
         run_once()
-    dt = (time.perf_counter() - t0) / REPS
+    dt = (time.perf_counter() - t0) / REPS - latency
+    dt = max(dt, 1e-6)
     scans_per_sec = BATCH / dt
 
     print(json.dumps({

@@ -216,6 +216,29 @@ class IntraSO3Conv(nn.Module):
         return SphericalCloud(xyz, out)
 
 
+class PointnetSO3Conv(nn.Module):
+    """Equivariant PointNet global pooling (reference vgtk modules.py:156-191;
+    part of the EPN model zoo, not on ETCH's main path — rebuilt for inventory
+    completeness): concat anchor-rotated centered coordinates to the features,
+    embed with a 1x1 conv, max-pool over points (or anchors)."""
+
+    dim_in: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, cloud: SphericalCloud, pool_anchors: bool = False) -> Array:
+        xyz, feats = cloud
+        B, P, A, C = feats.shape
+        anchors = jnp.asarray(get_anchors(A), dtype=xyz.dtype)
+        centered = xyz - jnp.mean(xyz, axis=1, keepdims=True)
+        # anchor-frame coordinates: (B, P, A, 3)
+        xyzr = jnp.einsum("aji,bpj->bpai", anchors, centered)
+        h = jnp.concatenate([feats, xyzr], axis=-1)
+        h = nn.Dense(self.dim_out, name="embed")(h)
+        axis = 2 if pool_anchors else 1
+        return jnp.max(h, axis=axis)  # (B, P, C) or (B, A, C)
+
+
 class SeparableSO3ConvBlock(nn.Module):
     """inter-conv -> intra-conv with normalized skip connection
     (reference src/models/so3conv.py:145-183)."""
