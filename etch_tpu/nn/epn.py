@@ -104,7 +104,11 @@ class InterSO3Conv(nn.Module):
     sigma: float
     n_neighbor: int
     lazy_sample: bool
-    chunk: int = 64
+    # points per streamed step: peak memory ~ B*chunk*nn*A*K floats for the
+    # kernel-weight block (~400 MB at B=4, nn=64, 60x24, chunk=256) — far
+    # fewer sequential steps than a VMEM-sized chunk would give, and XLA
+    # pipelines each step's HBM traffic against compute.
+    chunk: int = 256
 
     @nn.compact
     def __call__(self, cloud: SphericalCloud):
