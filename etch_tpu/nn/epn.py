@@ -122,7 +122,6 @@ class InterSO3Conv(nn.Module):
         # rotated kernel points, static constant: (A*K, 3)
         rk = np.einsum("aij,kj->aki", anchors, kernels).reshape(A * K, 3)
         rk = jnp.asarray(rk, dtype=xyz.dtype)
-        rk_sq = jnp.sum(rk * rk, axis=-1)                            # (A*K,)
 
         P2 = -(-P // self.stride)
         sample_idx = fps(xyz, P2, lazy=self.lazy_sample)             # (B, P2)
@@ -155,21 +154,13 @@ class InterSO3Conv(nn.Module):
         def do_chunk(args):
             idx, ctr = args  # (B, chunk, nn), (B, chunk, 3)
             gx = group_points(xyz, idx) - ctr[:, :, None, :]    # (B,c,nn,3)
-            # squared distance to every rotated kernel point:
-            # |gx|^2 - 2 <gx, rk> + |rk|^2  -> (B, c, nn, A*K)
-            # 3-wide contraction -> negligible FLOPs; run at full precision so
-            # kernel weights are bit-stable under anchor permutation.
-            dots = jax.lax.dot_general(
-                gx, rk.T,
-                dimension_numbers=(((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            d2 = (
-                jnp.sum(gx * gx, axis=-1, keepdims=True)
-                - 2.0 * dots
-                + rk_sq[None, None, None, :]
-            )
+            # squared distance to every rotated kernel point, computed as a
+            # direct broadcast difference: a K=3 matmul would run at ~2% MXU
+            # utilization (and need a slow multi-pass f32 mode for accuracy),
+            # while the VPU fuses subtract-square-reduce with no
+            # materialization and no cancellation error.
+            diff = gx[..., None, :] - rk[None, None, None, :, :]
+            d2 = jnp.sum(diff * diff, axis=-1)                   # (B,c,nn,A*K)
             w = jax.nn.relu(1.0 - d2 / sigma)                    # (B,c,nn,A*K)
             w = w.reshape(B, chunk, nn_k, A, K)
             gf = group_points(feats, idx)                        # (B,c,nn,A,C)

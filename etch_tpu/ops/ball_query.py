@@ -24,7 +24,7 @@ def ball_query(
     support: jnp.ndarray,
     radius: float,
     nsample: int,
-    chunk: int = 512,
+    chunk: int = 2048,
 ):
     """query: (B, M, 3), support: (B, N, 3) -> idx (B, M, nsample) int32."""
     B, M, _ = query.shape

@@ -32,7 +32,7 @@ def _pairwise_sqdist(q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, chunk: int = 1024):
+def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, chunk: int = 4096):
     """k nearest supports for each query point.
 
     query: (B, M, 3); support: (B, N, 3)
