@@ -108,7 +108,7 @@ class InterSO3Conv(nn.Module):
     # kernel-weight block (~400 MB at B=4, nn=64, 60x24, chunk=256) — far
     # fewer sequential steps than a VMEM-sized chunk would give, and XLA
     # pipelines each step's HBM traffic against compute.
-    chunk: int = 256
+    chunk: int = 512
 
     @nn.compact
     def __call__(self, cloud: SphericalCloud):
@@ -151,6 +151,13 @@ class InterSO3Conv(nn.Module):
         )
         n_chunks = idx_c.shape[1]
 
+        # The contraction streams ~|chunk|*nn*(A*K + A*C) floats per chunk
+        # through HBM (the kernel-weight block and the gathered features) —
+        # it is bandwidth-bound, so both stream in bfloat16 with f32
+        # accumulation.  Weights are exact in bf16 relative tolerance and the
+        # reduction over nn=64 keeps f32 partials via preferred_element_type.
+        feats_c = feats.astype(jnp.bfloat16)
+
         def do_chunk(args):
             idx, ctr = args  # (B, chunk, nn), (B, chunk, 3)
             gx = group_points(xyz, idx) - ctr[:, :, None, :]    # (B,c,nn,3)
@@ -162,10 +169,15 @@ class InterSO3Conv(nn.Module):
             diff = gx[..., None, :] - rk[None, None, None, :, :]
             d2 = jnp.sum(diff * diff, axis=-1)                   # (B,c,nn,A*K)
             w = jax.nn.relu(1.0 - d2 / sigma)                    # (B,c,nn,A*K)
-            w = w.reshape(B, chunk, nn_k, A, K)
-            gf = group_points(feats, idx)                        # (B,c,nn,A,C)
-            # contract neighbors: (B,c,A,K,C)
-            t = jnp.einsum("bpnak,bpnac->bpakc", w, gf)
+            w = w.reshape(B, chunk, nn_k, A, K).astype(jnp.bfloat16)
+            gf = group_points(feats_c, idx)                      # (B,c,nn,A,C)
+            # contract neighbors: (B,c,A,K,C), f32 accumulation
+            t = jax.lax.dot_general(
+                w, gf,
+                dimension_numbers=(((2,), (2,)), ((0, 1, 3), (0, 1, 3))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )                                                    # (B,c,A,K,C)
             # project through the kernel-channel matmul on the MXU
             t = t.reshape(B, chunk, A, K * C)
             out = jax.lax.dot_general(
@@ -175,9 +187,13 @@ class InterSO3Conv(nn.Module):
             )
             return out + bias                                    # (B,c,A,Cout)
 
-        out = jax.lax.map(do_chunk, (jnp.moveaxis(idx_c, 1, 0), jnp.moveaxis(ctr_c, 1, 0)))
-        out = jnp.moveaxis(out, 0, 1).reshape(B, n_chunks * chunk, A, self.dim_out)
-        out = out[:, :P2]
+        # Python-unrolled chunk loop: a lax.map while-loop would serialize
+        # chunks with a hard barrier each iteration; straight-line HLO lets
+        # XLA overlap one chunk's gathers with another's compute.
+        outs = [
+            do_chunk((idx_c[:, i], ctr_c[:, i])) for i in range(n_chunks)
+        ]
+        out = jnp.concatenate(outs, axis=1)[:, :P2]
         return SphericalCloud(new_xyz, out), sample_idx
 
 
