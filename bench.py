@@ -40,7 +40,13 @@ def main():
     from etch_tpu.pipeline import build_pipeline
     from etch_tpu.utils.config import EtchConfig
 
-    cfg = EtchConfig(num_point=NUM_POINT, batch_size=BATCH)
+    # bf16 heads: bandwidth-bound U-Nets stream in bfloat16 with f32
+    # accumulation/outputs (inference deployment config; training defaults
+    # to f32 like the reference's TF32-off policy)
+    cfg = EtchConfig(
+        num_point=NUM_POINT, batch_size=BATCH,
+        use_bfloat16=os.environ.get("ETCH_BENCH_BF16", "1") == "1",
+    )
     # 86-marker superset ids spread over the synthetic body if no SMPL pkl
     markerset = {f"M{i}": int(v) for i, v in enumerate(
         np.linspace(0, 6889, 86).astype(int)

@@ -102,15 +102,18 @@ class EtchNet(nn.Module):
         self.direction_head = DirectionHead(
             embed_dim=self.epn_feat_dim, name="direction_head"
         )
+        head_dtype = jnp.bfloat16 if self.cfg.use_bfloat16 else None
         self.magnitude_head = PointTransformerSeg(
             mode="magnitude",
             planes=(64, 128, 256, 256, 512),
+            dtype=head_dtype,
             name="magnitude_encoder",
         )
         self.confidence_head = PointTransformerSeg(
             mode="confidence",
             num_classes=self.cfg.num_markers,
             planes=(128, 128, 256, 256, 512),
+            dtype=head_dtype,
             name="confidence_encoder",
         )
 
@@ -136,15 +139,15 @@ class EtchNet(nn.Module):
         results = {}
         if "confidence" in pred_items:
             logits, conf = self.confidence_head(hitpts, point_inv, train=train)
-            results["part_labels"] = logits
-            results["confidences"] = conf
+            results["part_labels"] = logits.astype(jnp.float32)
+            results["confidences"] = conf.astype(jnp.float32)
         if "direction" in pred_items:
             equiv = point_equiv.transpose(0, 1, 3, 2)    # (B, N, A, C)
             results["direction"] = self.direction_head(equiv)
         if "magnitude" in pred_items:
             results["magnitude"] = self.magnitude_head(
                 hitpts, point_inv, train=train
-            )
+            ).astype(jnp.float32)
         return results
 
     def predict_vectors(self, results) -> Array:

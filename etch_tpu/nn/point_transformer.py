@@ -16,7 +16,7 @@ TPU-first changes:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -33,6 +33,7 @@ class PointTransformerLayer(nn.Module):
     out_planes: int
     share_planes: int = 8
     nsample: int = 16
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, p: Array, x: Array, train: bool, idx: Array = None) -> Array:
@@ -42,9 +43,9 @@ class PointTransformerLayer(nn.Module):
         # pointtransformer_seg.py:28-29)
         c = self.out_planes
         s = self.share_planes
-        x_q = nn.Dense(c, name="linear_q")(x)
-        x_k = nn.Dense(c, name="linear_k")(x)
-        x_v = nn.Dense(c, name="linear_v")(x)
+        x_q = nn.Dense(c, name="linear_q", dtype=self.dtype)(x)
+        x_k = nn.Dense(c, name="linear_k", dtype=self.dtype)(x)
+        x_v = nn.Dense(c, name="linear_v", dtype=self.dtype)(x)
 
         if idx is None:
             idx, _ = knn(p, p, self.nsample)                # (B, N, ns)
@@ -53,18 +54,18 @@ class PointTransformerLayer(nn.Module):
         g_v = group_points(x_v, idx)
 
         # positional encoding MLP: Linear(3,3) -> BN -> ReLU -> Linear(3,c)
-        pe = nn.Dense(3, name="linear_p0")(p_r)
-        pe = nn.BatchNorm(use_running_average=not train, name="linear_p_bn")(pe)
+        pe = nn.Dense(3, name="linear_p0", dtype=self.dtype)(p_r)
+        pe = nn.BatchNorm(use_running_average=not train, name="linear_p_bn", dtype=self.dtype)(pe)
         pe = nn.relu(pe)
-        pe = nn.Dense(c, name="linear_p1")(pe)              # (B, N, ns, c)
+        pe = nn.Dense(c, name="linear_p1", dtype=self.dtype)(pe)              # (B, N, ns, c)
 
         w = g_k - x_q[:, :, None, :] + pe
-        w = nn.BatchNorm(use_running_average=not train, name="linear_w_bn0")(w)
+        w = nn.BatchNorm(use_running_average=not train, name="linear_w_bn0", dtype=self.dtype)(w)
         w = nn.relu(w)
-        w = nn.Dense(c // s, name="linear_w0")(w)
-        w = nn.BatchNorm(use_running_average=not train, name="linear_w_bn1")(w)
+        w = nn.Dense(c // s, name="linear_w0", dtype=self.dtype)(w)
+        w = nn.BatchNorm(use_running_average=not train, name="linear_w_bn1", dtype=self.dtype)(w)
         w = nn.relu(w)
-        w = nn.Dense(c // s, name="linear_w1")(w)           # (B, N, ns, c/s)
+        w = nn.Dense(c // s, name="linear_w1", dtype=self.dtype)(w)           # (B, N, ns, c/s)
         w = nn.softmax(w, axis=2)
 
         B, N, ns, _ = w.shape
@@ -79,12 +80,13 @@ class TransitionDown(nn.Module):
     out_planes: int
     stride: int = 1
     nsample: int = 16
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, p: Array, x: Array, train: bool):
         if self.stride == 1:
-            x = nn.Dense(self.out_planes, use_bias=False)(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
             return p, nn.relu(x)
         B, N, _ = p.shape
         M = max(1, N // self.stride)
@@ -94,8 +96,8 @@ class TransitionDown(nn.Module):
         g_x = group_points(x, nidx)                         # (B, M, ns, C)
         g_p = group_points(p, nidx) - new_p[:, :, None, :]  # (B, M, ns, 3)
         h = jnp.concatenate([g_p, g_x], axis=-1)
-        h = nn.Dense(self.out_planes, use_bias=False)(h)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
         h = nn.relu(h)
         return new_p, jnp.max(h, axis=2)                    # (B, M, out)
 
@@ -106,22 +108,23 @@ class TransitionUp(nn.Module):
 
     out_planes: int
     is_head: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, p1, x1, p2=None, x2=None, train: bool = True):
         if self.is_head:
             mean = jnp.mean(x1, axis=1, keepdims=True)      # (B, 1, C)
-            g = nn.Dense(x1.shape[-1], name="linear2")(mean)
+            g = nn.Dense(x1.shape[-1], name="linear2", dtype=self.dtype)(mean)
             g = nn.relu(g)
             h = jnp.concatenate([x1, jnp.broadcast_to(g, x1.shape)], axis=-1)
-            h = nn.Dense(x1.shape[-1], name="linear1")(h)
-            h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+            h = nn.Dense(x1.shape[-1], name="linear1", dtype=self.dtype)(h)
+            h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(h)
             return nn.relu(h)
-        a = nn.Dense(self.out_planes, name="linear1")(x1)
-        a = nn.BatchNorm(use_running_average=not train, name="bn1")(a)
+        a = nn.Dense(self.out_planes, name="linear1", dtype=self.dtype)(x1)
+        a = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(a)
         a = nn.relu(a)
-        b = nn.Dense(self.out_planes, name="linear2")(x2)
-        b = nn.BatchNorm(use_running_average=not train, name="bn2")(b)
+        b = nn.Dense(self.out_planes, name="linear2", dtype=self.dtype)(x2)
+        b = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(b)
         b = nn.relu(b)
         return a + knn_interpolate(p2, p1, b, k=3, use_sqrt=True)
 
@@ -132,23 +135,25 @@ class PointTransformerBlock(nn.Module):
     planes: int
     share_planes: int = 8
     nsample: int = 16
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, p: Array, x: Array, train: bool, idx: Array = None) -> Array:
         identity = x
-        h = nn.Dense(self.planes, use_bias=False, name="linear1")(x)
-        h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+        h = nn.Dense(self.planes, use_bias=False, name="linear1", dtype=self.dtype)(x)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         h = PointTransformerLayer(
             out_planes=self.planes,
             share_planes=self.share_planes,
             nsample=self.nsample,
+            dtype=self.dtype,
             name="transformer2",
         )(p, h, train, idx=idx)
-        h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(h)
         h = nn.relu(h)
-        h = nn.Dense(self.planes, use_bias=False, name="linear3")(h)
-        h = nn.BatchNorm(use_running_average=not train, name="bn3")(h)
+        h = nn.Dense(self.planes, use_bias=False, name="linear3", dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn3")(h)
         return nn.relu(h + identity)
 
 
@@ -163,6 +168,7 @@ class PointTransformerUNet(nn.Module):
     strides: Sequence[int] = (1, 4, 4, 4, 4)
     nsamples: Sequence[int] = (8, 16, 16, 16, 16)
     share_planes: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, p: Array, x: Array, train: bool) -> Array:
@@ -173,6 +179,7 @@ class PointTransformerUNet(nn.Module):
                 out_planes=self.planes[lvl],
                 stride=self.strides[lvl],
                 nsample=self.nsamples[lvl],
+                dtype=self.dtype,
                 name=f"enc{lvl+1}_down",
             )(p, x, train)
             idx, _ = knn(p, p, min(self.nsamples[lvl], p.shape[1]))
@@ -182,32 +189,35 @@ class PointTransformerUNet(nn.Module):
                     planes=self.planes[lvl],
                     share_planes=self.share_planes,
                     nsample=self.nsamples[lvl],
+                    dtype=self.dtype,
                     name=f"enc{lvl+1}_block{b}",
                 )(p, x, train, idx=idx)
             skips.append((p, x))
 
         # decoder head at the coarsest level
         p5, x5 = skips[4]
-        x = TransitionUp(out_planes=self.planes[4], is_head=True, name="dec5_up")(
+        x = TransitionUp(out_planes=self.planes[4], is_head=True, dtype=self.dtype, name="dec5_up")(
             p5, x5, train=train
         )
         x = PointTransformerBlock(
             planes=self.planes[4],
             share_planes=self.share_planes,
             nsample=self.nsamples[4],
+            dtype=self.dtype,
             name="dec5_block1",
         )(p5, x, train, idx=level_idx[4])
 
         for lvl in range(3, -1, -1):
             p_f, x_f = skips[lvl]
             p_c = skips[lvl + 1][0]
-            x = TransitionUp(out_planes=self.planes[lvl], name=f"dec{lvl+1}_up")(
+            x = TransitionUp(out_planes=self.planes[lvl], dtype=self.dtype, name=f"dec{lvl+1}_up")(
                 p_f, x_f, p_c, x, train=train
             )
             x = PointTransformerBlock(
                 planes=self.planes[lvl],
                 share_planes=self.share_planes,
                 nsample=self.nsamples[lvl],
+                dtype=self.dtype,
                 name=f"dec{lvl+1}_block1",
             )(p_f, x, train, idx=level_idx[lvl])
         return x
@@ -224,31 +234,32 @@ class PointTransformerSeg(nn.Module):
     mode: str
     num_classes: int = 1
     planes: Sequence[int] = (64, 128, 256, 256, 512)
+    dtype: Any = None  # e.g. jnp.bfloat16 for bandwidth-bound inference
 
     @nn.compact
     def __call__(self, p: Array, feat: Array, train: bool = True):
         x = jnp.concatenate([p, feat], axis=-1)
-        h = PointTransformerUNet(planes=self.planes, name="unet")(p, x, train)
+        h = PointTransformerUNet(planes=self.planes, dtype=self.dtype, name="unet")(p, x, train)
         B, N, c0 = h.shape
 
         if self.mode == "magnitude":
-            y = nn.Dense(c0, name="final0")(h)
-            y = nn.BatchNorm(use_running_average=not train, name="final_bn")(y)
+            y = nn.Dense(c0, name="final0", dtype=self.dtype)(h)
+            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="final_bn")(y)
             y = nn.relu(y)
-            return nn.Dense(1, name="final1")(y)            # (B, N, 1)
+            return nn.Dense(1, name="final1", dtype=self.dtype)(y)            # (B, N, 1)
 
         assert self.mode == "confidence"
         k = self.num_classes
         # classification branch (reference :144)
-        y = nn.Dense(c0, name="cls0")(h)
-        y = nn.BatchNorm(use_running_average=not train, name="cls_bn")(y)
+        y = nn.Dense(c0, name="cls0", dtype=self.dtype)(h)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="cls_bn")(y)
         y = nn.relu(y)
-        logits = nn.Dense(k, name="cls1")(y)                # (B, N, k)
+        logits = nn.Dense(k, name="cls1", dtype=self.dtype)(y)                # (B, N, k)
 
         # per-part confidence branch: Conv1d(c0, c0*k) -> ReLU -> grouped
         # Conv1d(c0*k, k, groups=k) (reference :145).  The grouped conv is a
         # per-class (c0 -> 1) projection, expressed as an einsum.
-        z = nn.Dense(c0 * k, name="confi0")(h)
+        z = nn.Dense(c0 * k, name="confi0", dtype=self.dtype)(h)
         z = nn.relu(z)
         z = z.reshape(B, N, k, c0)
         Wg = self.param(
