@@ -34,6 +34,33 @@ def _freeze_plan(plan):
     return tuple(tuple(ConvSpec(**c) for c in block) for block in plan)
 
 
+class _DirectionCore(nn.Module):
+    """Per-chunk direction decoder body (separate module so nn.remat can drop
+    its (chunk, heads, 60, 60) attention logits from the backward residuals —
+    the dominant training-memory term at full scale)."""
+
+    embed_dim: int
+    value_dim: int
+    num_heads: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, tokens: Array) -> Array:  # (chunk, A, C) -> (chunk, 3)
+        A = tokens.shape[-2]
+        anchors = jnp.asarray(get_anchors(A))            # (A, 3, 3)
+        h = StackedMHSA(
+            embedding_dim=self.embed_dim,
+            value_dim=self.value_dim,
+            num_heads=self.num_heads,
+            num_layers=self.num_layers,
+            name="direction_encoder",
+        )(tokens)
+        h = BatchMLP(out_features=self.value_dim, name="direction_predictor")(h)
+        w = nn.Dense(1, name="so3_reg")(h)[..., 0]       # (chunk, A)
+        R = so3_mean(jnp.broadcast_to(anchors, w.shape + (3, 3)), w)
+        return R[..., :, 2]  # R @ [0,0,1] == third column
+
+
 class DirectionHead(nn.Module):
     """Anchor-attention direction decoder
     (reference models_pointcloud.py:52-54,111-126).
@@ -53,37 +80,23 @@ class DirectionHead(nn.Module):
     def __call__(self, equiv_feat: Array) -> Array:
         # equiv_feat: (B, N, A, C)
         B, N, A, C = equiv_feat.shape
-        anchors = jnp.asarray(get_anchors(A))            # (A, 3, 3)
-
         x = equiv_feat.reshape(B * N, A, C)
-        mhsa = StackedMHSA(
-            embedding_dim=self.embed_dim,
+
+        core = nn.remat(_DirectionCore)(
+            embed_dim=self.embed_dim,
             value_dim=self.value_dim,
             num_heads=self.num_heads,
             num_layers=self.num_layers,
-            name="direction_encoder",
+            name="core",
         )
-        mlp = BatchMLP(out_features=self.value_dim, name="direction_predictor")
-        reg = nn.Dense(1, name="so3_reg")
 
-        def head(tokens):  # (chunk, A, C) -> (chunk, 3)
-            h = mhsa(tokens)
-            h = mlp(h)
-            w = reg(h)[..., 0]                            # (chunk, A)
-            R = so3_mean(jnp.broadcast_to(anchors, w.shape + (3, 3)), w)
-            return R[..., :, 2]  # R @ [0,0,1] == third column
-
-        # chunk over points to bound the (chunk, H, A, A) attention logits
+        # chunk over points to bound the (chunk, H, A, A) attention logits;
+        # chunks share the module's params.
         M = B * N
         chunk = min(self.chunk, M)
         pad = (-M) % chunk
         xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))).reshape(-1, chunk, A, C)
-        # nn.scan would thread params; with identical params per chunk a
-        # simple concat of vmapped applications is enough because `head`
-        # closes over module params (flax re-traces but shares variables).
-        outs = []
-        for i in range(xp.shape[0]):
-            outs.append(head(xp[i]))
+        outs = [core(xp[i]) for i in range(xp.shape[0])]
         out = jnp.concatenate(outs, axis=0)[:M]
         return out.reshape(B, N, 3)
 

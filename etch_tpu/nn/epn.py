@@ -190,8 +190,12 @@ class InterSO3Conv(nn.Module):
         # Python-unrolled chunk loop: a lax.map while-loop would serialize
         # chunks with a hard barrier each iteration; straight-line HLO lets
         # XLA overlap one chunk's gathers with another's compute.
+        # jax.checkpoint: the (chunk, nn, A, K) weight block is cheap to
+        # recompute and far too large (GBs across chunks) to keep as a
+        # backward residual.
+        do_chunk_r = jax.checkpoint(do_chunk)
         outs = [
-            do_chunk((idx_c[:, i], ctr_c[:, i])) for i in range(n_chunks)
+            do_chunk_r((idx_c[:, i], ctr_c[:, i])) for i in range(n_chunks)
         ]
         out = jnp.concatenate(outs, axis=1)[:, :P2]
         return SphericalCloud(new_xyz, out), sample_idx
