@@ -172,6 +172,10 @@ class PointTransformerUNet(nn.Module):
 
     @nn.compact
     def __call__(self, p: Array, x: Array, train: bool) -> Array:
+        # remat: block activations at full resolution dominate training
+        # memory; recompute them in the backward pass (static_argnums marks
+        # the python-bool `train` flag)
+        Block = nn.remat(PointTransformerBlock, static_argnums=(3,))
         skips = []
         level_idx = []   # per-level self-kNN, shared by all blocks at a level
         for lvl in range(5):
@@ -185,7 +189,7 @@ class PointTransformerUNet(nn.Module):
             idx, _ = knn(p, p, min(self.nsamples[lvl], p.shape[1]))
             level_idx.append(idx)
             for b in range(1, self.blocks[lvl]):
-                x = PointTransformerBlock(
+                x = Block(
                     planes=self.planes[lvl],
                     share_planes=self.share_planes,
                     nsample=self.nsamples[lvl],
@@ -199,7 +203,7 @@ class PointTransformerUNet(nn.Module):
         x = TransitionUp(out_planes=self.planes[4], is_head=True, dtype=self.dtype, name="dec5_up")(
             p5, x5, train=train
         )
-        x = PointTransformerBlock(
+        x = Block(
             planes=self.planes[4],
             share_planes=self.share_planes,
             nsample=self.nsamples[4],
@@ -213,7 +217,7 @@ class PointTransformerUNet(nn.Module):
             x = TransitionUp(out_planes=self.planes[lvl], dtype=self.dtype, name=f"dec{lvl+1}_up")(
                 p_f, x_f, p_c, x, train=train
             )
-            x = PointTransformerBlock(
+            x = Block(
                 planes=self.planes[lvl],
                 share_planes=self.share_planes,
                 nsample=self.nsamples[lvl],
