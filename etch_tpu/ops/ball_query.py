@@ -18,7 +18,23 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("nsample", "chunk"))
+def _repeat_fill(idx: jnp.ndarray, cnt: jnp.ndarray, nsample: int,
+                 k_eff: int) -> jnp.ndarray:
+    """Reference repeat-fill epilogue (grouping_cuda_kernel.cu:99-112):
+    cycle the cnt found indices into the remaining slots; empty ball -> 0.
+
+    idx: (..., k_eff) found indices (misses hold 0); cnt: (...,) hit counts.
+    """
+    cnt_c = jnp.maximum(jnp.minimum(cnt, k_eff), 1)
+    j = jnp.arange(nsample, dtype=jnp.int32)
+    j = jnp.broadcast_to(j, cnt.shape + (nsample,))
+    wrapped = j % cnt_c[..., None]
+    fill = jnp.take_along_axis(idx, jnp.minimum(wrapped, k_eff - 1), axis=-1)
+    hit_full = j < cnt_c[..., None]
+    first = jnp.take_along_axis(idx, jnp.minimum(j, k_eff - 1), axis=-1)
+    return jnp.where(hit_full, first, fill)
+
+
 def ball_query(
     query: jnp.ndarray,
     support: jnp.ndarray,
@@ -27,6 +43,30 @@ def ball_query(
     chunk: int = 2048,
 ):
     """query: (B, M, 3), support: (B, N, 3) -> idx (B, M, nsample) int32."""
+    N = support.shape[1]
+    # Sort-free Pallas path on TPU (the XLA top_k below lowers to a full
+    # per-row sort over N); identical first-k-in-index-order results.
+    if N >= 512:
+        try:
+            from etch_tpu.ops.pallas_knn import ball_query_pallas
+            if jax.default_backend() == "tpu":
+                return ball_query_pallas(
+                    jax.lax.stop_gradient(query),
+                    jax.lax.stop_gradient(support), float(radius), nsample,
+                )
+        except Exception:
+            pass
+    return _ball_query_xla(query, support, radius, nsample, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("nsample", "chunk"))
+def _ball_query_xla(
+    query: jnp.ndarray,
+    support: jnp.ndarray,
+    radius: float,
+    nsample: int,
+    chunk: int = 2048,
+):
     B, M, _ = query.shape
     N = support.shape[1]
     r2 = jnp.asarray(radius, query.dtype) ** 2

@@ -31,7 +31,6 @@ def _pairwise_sqdist(q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(d, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, chunk: int = 4096):
     """k nearest supports for each query point.
 
@@ -39,6 +38,28 @@ def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, chunk: int = 4096):
     Returns (idx, dist): (B, M, k) int32 indices and (B, M, k) *euclidean*
     distances (sqrt, as in reference pointops.py:43), sorted ascending.
     """
+    N = support.shape[1]
+    k = min(k, N)
+    # Sort-free Pallas path on TPU for large supports (the XLA top_k below
+    # lowers to a full per-row sort); identical results.  Neighbor indices
+    # and IDW distances carry no gradient in the reference either (CUDA ops).
+    if N >= 512:
+        try:
+            from etch_tpu.ops.pallas_knn import knn_pallas
+            if jax.default_backend() == "tpu":
+                idx, d2 = knn_pallas(
+                    jax.lax.stop_gradient(query),
+                    jax.lax.stop_gradient(support), k,
+                )
+                return idx, jnp.sqrt(jnp.maximum(d2, 0.0))
+        except Exception:
+            pass
+    return _knn_xla(query, support, k, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _knn_xla(query: jnp.ndarray, support: jnp.ndarray, k: int,
+             chunk: int = 4096):
     B, M, _ = query.shape
     N = support.shape[1]
     k = min(k, N)
