@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from etch_tpu.geometry import get_anchors, so3_mean
 from etch_tpu.nn.attention import BatchMLP, StackedMHSA
 from etch_tpu.nn.epn import EPNBackbone
-from etch_tpu.nn.point_transformer import PointTransformerSeg
+from etch_tpu.nn.point_transformer import PointTransformerSeg, unet_geometry
 from etch_tpu.ops import knn_interpolate
 from etch_tpu.utils.config import EtchConfig, backbone_plan
 
@@ -150,8 +150,15 @@ class EtchNet(nn.Module):
         point_inv = jnp.mean(point_equiv, axis=-1)       # (B, N, C)
 
         results = {}
+        # the two U-Net heads share identical trunk geometry over the same
+        # cloud — compute FPS/kNN/interpolation queries once for both
+        geom = None
+        if "confidence" in pred_items or "magnitude" in pred_items:
+            geom = unet_geometry(hitpts)
         if "confidence" in pred_items:
-            logits, conf = self.confidence_head(hitpts, point_inv, train=train)
+            logits, conf = self.confidence_head(
+                hitpts, point_inv, train=train, geom=geom
+            )
             results["part_labels"] = logits.astype(jnp.float32)
             results["confidences"] = conf.astype(jnp.float32)
         if "direction" in pred_items:
@@ -159,7 +166,7 @@ class EtchNet(nn.Module):
             results["direction"] = self.direction_head(equiv)
         if "magnitude" in pred_items:
             results["magnitude"] = self.magnitude_head(
-                hitpts, point_inv, train=train
+                hitpts, point_inv, train=train, geom=geom
             ).astype(jnp.float32)
         return results
 

@@ -25,6 +25,7 @@ Differences from the CUDA/torch design, on purpose:
 
 from __future__ import annotations
 
+import os
 from typing import Any, List, NamedTuple, Optional, Sequence
 
 import flax.linen as nn
@@ -33,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from etch_tpu.geometry import get_anchors, get_intra_idx, get_kernel_points
+from etch_tpu.nn.pallas_interconv import interconv_t
 from etch_tpu.ops import ball_query, fps, gather_points, group_points
 
 Array = jnp.ndarray
@@ -138,7 +140,6 @@ class InterSO3Conv(nn.Module):
             "bias", nn.initializers.constant(1e-3), (self.dim_out,), feats.dtype
         )
 
-        sigma = jnp.asarray(self.sigma, dtype=xyz.dtype)
         nn_k = self.n_neighbor
 
         chunk = min(self.chunk, P2)
@@ -156,28 +157,35 @@ class InterSO3Conv(nn.Module):
         # it is bandwidth-bound, so both stream in bfloat16 with f32
         # accumulation.  Weights are exact in bf16 relative tolerance and the
         # reduction over nn=64 keeps f32 partials via preferred_element_type.
-        feats_c = feats.astype(jnp.bfloat16)
+        # Features are flattened to (A*C,) rows BEFORE the gather: gathering
+        # (A, C)-shaped rows and flattening after forces a physical (8,128)
+        # retile of the 0.5 GB gathered block (measured 18.6 ms vs 5.7 ms
+        # per conv at production shapes).
+        # C == 1 means all-ones occupancy input (the backbone's first conv,
+        # occupancy_features above): the contraction degenerates to a
+        # neighbor-sum of the weights — skip the feature gather entirely.
+        occupancy = C == 1
+        feats_c = (
+            None if occupancy
+            else feats.astype(jnp.bfloat16).reshape(B, P, A * C)
+        )
+        rk_arr = jnp.asarray(rk)
+        # ETCH_INTERCONV_PALLAS=0 falls back to the XLA einsum (debugging /
+        # A-B benchmarking); the kernel needs A divisible by the anchor group
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and A % 12 == 0
+            and os.environ.get("ETCH_INTERCONV_PALLAS", "1") == "1"
+        )
 
         def do_chunk(args):
             idx, ctr = args  # (B, chunk, nn), (B, chunk, 3)
             gx = group_points(xyz, idx) - ctr[:, :, None, :]    # (B,c,nn,3)
-            # squared distance to every rotated kernel point, computed as a
-            # direct broadcast difference: a K=3 matmul would run at ~2% MXU
-            # utilization (and need a slow multi-pass f32 mode for accuracy),
-            # while the VPU fuses subtract-square-reduce with no
-            # materialization and no cancellation error.
-            diff = gx[..., None, :] - rk[None, None, None, :, :]
-            d2 = jnp.sum(diff * diff, axis=-1)                   # (B,c,nn,A*K)
-            w = jax.nn.relu(1.0 - d2 / sigma)                    # (B,c,nn,A*K)
-            w = w.reshape(B, chunk, nn_k, A, K).astype(jnp.bfloat16)
-            gf = group_points(feats_c, idx)                      # (B,c,nn,A,C)
-            # contract neighbors: (B,c,A,K,C), f32 accumulation
-            t = jax.lax.dot_general(
-                w, gf,
-                dimension_numbers=(((2,), (2,)), ((0, 1, 3), (0, 1, 3))),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )                                                    # (B,c,A,K,C)
+            gf2 = None if occupancy else group_points(feats_c, idx)
+            # fused Pallas contraction on TPU (see pallas_interconv.py):
+            # weights are computed in-VMEM and never hit HBM; XLA einsum
+            # fallback elsewhere and for the backward pass.
+            t = interconv_t(gx, gf2, rk_arr, float(self.sigma), A, use_pallas)
             # project through the kernel-channel matmul on the MXU
             t = t.reshape(B, chunk, A, K * C)
             out = jax.lax.dot_general(
@@ -212,7 +220,7 @@ class IntraSO3Conv(nn.Module):
     def __call__(self, cloud: SphericalCloud) -> SphericalCloud:
         xyz, feats = cloud
         B, P, A, C = feats.shape
-        intra_idx = jnp.asarray(get_intra_idx())         # (A, 12)
+        intra_idx = np.asarray(get_intra_idx())          # (A, 12)
         M = intra_idx.shape[1]
         W = self.param(
             "W", nn.initializers.xavier_uniform(), (M * C, self.dim_out), feats.dtype
@@ -220,14 +228,26 @@ class IntraSO3Conv(nn.Module):
         bias = self.param(
             "bias", nn.initializers.constant(1e-3), (self.dim_out,), feats.dtype
         )
-        # gather neighbor anchors: (B, P, A, 12, C)
-        g = feats[:, :, intra_idx, :]
-        g = g.reshape(B, P, A, M * C)
+        # The adjacency gather feats[:, :, intra_idx, :] materializes a 12x
+        # blown-up (B,P,A,12,C) tensor at gather speed (~5 ms/conv measured).
+        # Instead fold the gather into the weight matmul: out[b,p,a,o] =
+        # sum_{a',c} feats[b,p,a',c] * W2[a'*C+c, a*O+o] with the block-
+        # sparse W2[a'C+c, aO+o] = sum_m [intra_idx[a,m]==a'] W[mC+c, o] —
+        # one MXU-shaped (A*C -> A*O) matmul per point, no gather at all
+        # (trades 5x FLOPs on zero blocks for gather-free bandwidth).
+        O = self.dim_out
+        W3 = W.reshape(M, C, O)
+        # W4[a, a', c, o] = sum_m [intra_idx[a, m] == a'] W3[m, c, o]
+        # (built by a tiny scatter-add over the traced param — NOT a folded
+        # (A*C, A, M*C) selection constant, which would be ~180 MB)
+        W4 = jnp.zeros((A, A, C, O), dtype=W.dtype)
+        W4 = W4.at[np.arange(A)[:, None], intra_idx].add(W3[None])
+        W2 = jnp.transpose(W4, (1, 2, 0, 3)).reshape(A * C, A * O)
         out = jax.lax.dot_general(
-            g, W,
-            dimension_numbers=(((3,), (0,)), ((), ())),
+            feats.reshape(B, P, A * C), W2,
+            dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias
+        ).reshape(B, P, A, self.dim_out) + bias
         return SphericalCloud(xyz, out)
 
 

@@ -27,6 +27,46 @@ from etch_tpu.ops import fps, gather_points, group_points, knn, knn_interpolate
 Array = jnp.ndarray
 
 
+def unet_geometry(
+    p: Array,
+    strides: Sequence[int] = (1, 4, 4, 4, 4),
+    nsamples: Sequence[int] = (8, 16, 16, 16, 16),
+    interp_k: int = 3,
+):
+    """Per-level sampling/neighborhood geometry of the U-Net trunk.
+
+    The magnitude and confidence heads run structurally identical trunks over
+    the *same* cloud, so all coordinate-only queries (FPS downsampling, the
+    grouping kNN, per-level self-kNN, decoder 3-NN interpolation) are computed
+    once here and shared — the reference recomputes them inside each head
+    (pointtransformer_seg.py:52-98), paying the CUDA kernels twice.
+
+    Returns a list of per-level dicts:
+      down: (fps_idx, group_idx) for stride>1 levels
+      self: (B, M, ns) self-kNN indices
+      up:   (idx, dist) 3-NN of this level's points among the coarser level's
+    """
+    levels = []
+    cur_p = p
+    ps = []
+    for lvl, s in enumerate(strides):
+        ent = {}
+        if s > 1:
+            N = cur_p.shape[1]
+            M = max(1, N // s)
+            idx = fps(cur_p, M)
+            new_p = gather_points(cur_p, idx)
+            nidx, _ = knn(new_p, cur_p, nsamples[lvl])
+            ent["down"] = (idx, nidx)
+            cur_p = new_p
+        ent["self"], _ = knn(cur_p, cur_p, min(nsamples[lvl], cur_p.shape[1]))
+        ps.append(cur_p)
+        levels.append(ent)
+    for lvl in range(len(strides) - 1):
+        levels[lvl]["up"] = knn(ps[lvl], ps[lvl + 1], interp_k)
+    return levels
+
+
 class PointTransformerLayer(nn.Module):
     """Vector attention over k nearest neighbors (reference :8-37)."""
 
@@ -83,16 +123,20 @@ class TransitionDown(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, p: Array, x: Array, train: bool):
+    def __call__(self, p: Array, x: Array, train: bool, down=None):
         if self.stride == 1:
             x = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
             return p, nn.relu(x)
         B, N, _ = p.shape
         M = max(1, N // self.stride)
-        idx = fps(p, M)                                     # (B, M)
-        new_p = gather_points(p, idx)
-        nidx, _ = knn(new_p, p, self.nsample)               # (B, M, ns)
+        if down is None:
+            idx = fps(p, M)                                 # (B, M)
+            new_p = gather_points(p, idx)
+            nidx, _ = knn(new_p, p, self.nsample)           # (B, M, ns)
+        else:
+            idx, nidx = down
+            new_p = gather_points(p, idx)
         g_x = group_points(x, nidx)                         # (B, M, ns, C)
         g_p = group_points(p, nidx) - new_p[:, :, None, :]  # (B, M, ns, 3)
         h = jnp.concatenate([g_p, g_x], axis=-1)
@@ -111,7 +155,7 @@ class TransitionUp(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, p1, x1, p2=None, x2=None, train: bool = True):
+    def __call__(self, p1, x1, p2=None, x2=None, train: bool = True, up=None):
         if self.is_head:
             mean = jnp.mean(x1, axis=1, keepdims=True)      # (B, 1, C)
             g = nn.Dense(x1.shape[-1], name="linear2", dtype=self.dtype)(mean)
@@ -126,7 +170,7 @@ class TransitionUp(nn.Module):
         b = nn.Dense(self.out_planes, name="linear2", dtype=self.dtype)(x2)
         b = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(b)
         b = nn.relu(b)
-        return a + knn_interpolate(p2, p1, b, k=3, use_sqrt=True)
+        return a + knn_interpolate(p2, p1, b, k=3, use_sqrt=True, idx_dist=up)
 
 
 class PointTransformerBlock(nn.Module):
@@ -171,7 +215,11 @@ class PointTransformerUNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, p: Array, x: Array, train: bool) -> Array:
+    def __call__(self, p: Array, x: Array, train: bool, geom=None) -> Array:
+        # geom: optional precomputed unet_geometry(p, ...) shared between the
+        # magnitude and confidence trunks (they see the same cloud)
+        if geom is None:
+            geom = unet_geometry(p, self.strides, self.nsamples)
         # remat: block activations at full resolution dominate training
         # memory; recompute them in the backward pass (static_argnums marks
         # the python-bool `train` flag)
@@ -185,8 +233,8 @@ class PointTransformerUNet(nn.Module):
                 nsample=self.nsamples[lvl],
                 dtype=self.dtype,
                 name=f"enc{lvl+1}_down",
-            )(p, x, train)
-            idx, _ = knn(p, p, min(self.nsamples[lvl], p.shape[1]))
+            )(p, x, train, down=geom[lvl].get("down"))
+            idx = geom[lvl]["self"]
             level_idx.append(idx)
             for b in range(1, self.blocks[lvl]):
                 x = Block(
@@ -215,7 +263,7 @@ class PointTransformerUNet(nn.Module):
             p_f, x_f = skips[lvl]
             p_c = skips[lvl + 1][0]
             x = TransitionUp(out_planes=self.planes[lvl], dtype=self.dtype, name=f"dec{lvl+1}_up")(
-                p_f, x_f, p_c, x, train=train
+                p_f, x_f, p_c, x, train=train, up=geom[lvl].get("up")
             )
             x = Block(
                 planes=self.planes[lvl],
@@ -241,9 +289,9 @@ class PointTransformerSeg(nn.Module):
     dtype: Any = None  # e.g. jnp.bfloat16 for bandwidth-bound inference
 
     @nn.compact
-    def __call__(self, p: Array, feat: Array, train: bool = True):
+    def __call__(self, p: Array, feat: Array, train: bool = True, geom=None):
         x = jnp.concatenate([p, feat], axis=-1)
-        h = PointTransformerUNet(planes=self.planes, dtype=self.dtype, name="unet")(p, x, train)
+        h = PointTransformerUNet(planes=self.planes, dtype=self.dtype, name="unet")(p, x, train, geom=geom)
         B, N, c0 = h.shape
 
         if self.mode == "magnitude":

@@ -21,16 +21,24 @@ from etch_tpu.ops.knn import knn
 from etch_tpu.ops.grouping import group_points
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_sqrt"))
 def knn_interpolate(
     src_xyz: jnp.ndarray,
     dst_xyz: jnp.ndarray,
     src_feat: jnp.ndarray,
     k: int = 3,
     use_sqrt: bool = True,
+    idx_dist=None,
 ) -> jnp.ndarray:
-    """src_xyz: (B, S, 3), dst_xyz: (B, N, 3), src_feat: (B, S, C) -> (B, N, C)."""
-    idx, dist = knn(dst_xyz, src_xyz, k)          # (B, N, k)
+    """src_xyz: (B, S, 3), dst_xyz: (B, N, 3), src_feat: (B, S, C) -> (B, N, C).
+
+    idx_dist: optional precomputed knn(dst_xyz, src_xyz, k) result — callers
+    that interpolate several feature sets over the same geometry (the two
+    U-Net heads) share one query.
+    """
+    if idx_dist is None:
+        idx, dist = knn(dst_xyz, src_xyz, k)      # (B, N, k)
+    else:
+        idx, dist = idx_dist
     if use_sqrt:
         w = 1.0 / (dist + 1e-8)
     else:
