@@ -61,6 +61,26 @@ class _DirectionCore(nn.Module):
         return R[..., :, 2]  # R @ [0,0,1] == third column
 
 
+class _DirectionScanBody(nn.Module):
+    """nn.scan body: (carry, chunk tokens) -> (carry, directions)."""
+
+    embed_dim: int
+    value_dim: int
+    num_heads: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, carry, tokens):
+        out = _DirectionCore(
+            embed_dim=self.embed_dim,
+            value_dim=self.value_dim,
+            num_heads=self.num_heads,
+            num_layers=self.num_layers,
+            name="body",
+        )(tokens)
+        return carry, out
+
+
 class DirectionHead(nn.Module):
     """Anchor-attention direction decoder
     (reference models_pointcloud.py:52-54,111-126).
@@ -82,22 +102,29 @@ class DirectionHead(nn.Module):
         B, N, A, C = equiv_feat.shape
         x = equiv_feat.reshape(B * N, A, C)
 
-        core = nn.remat(_DirectionCore)(
+        # chunk over points to bound the (chunk, H, A, A) attention logits;
+        # chunks share the module's params (nn.scan with broadcast params
+        # compiles the chunk body ONCE — the previous unrolled python loop
+        # emitted ~10 copies of the MHSA HLO into the program).
+        M = B * N
+        chunk = min(self.chunk, M)
+        pad = (-M) % chunk
+        xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))).reshape(-1, chunk, A, C)
+        scan = nn.scan(
+            nn.remat(_DirectionScanBody),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )(
             embed_dim=self.embed_dim,
             value_dim=self.value_dim,
             num_heads=self.num_heads,
             num_layers=self.num_layers,
             name="core",
         )
-
-        # chunk over points to bound the (chunk, H, A, A) attention logits;
-        # chunks share the module's params.
-        M = B * N
-        chunk = min(self.chunk, M)
-        pad = (-M) % chunk
-        xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))).reshape(-1, chunk, A, C)
-        outs = [core(xp[i]) for i in range(xp.shape[0])]
-        out = jnp.concatenate(outs, axis=0)[:M]
+        _, outs = scan(0, xp)                    # (n_chunks, chunk, 3)
+        out = outs.reshape(-1, 3)[:M]
         return out.reshape(B, N, 3)
 
 

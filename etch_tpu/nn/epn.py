@@ -36,6 +36,7 @@ import numpy as np
 from etch_tpu.geometry import get_anchors, get_intra_idx, get_kernel_points
 from etch_tpu.nn.pallas_interconv import interconv_t
 from etch_tpu.ops import ball_query, fps, gather_points, group_points
+from etch_tpu.ops.grouping import materialize_rows
 
 Array = jnp.ndarray
 
@@ -164,10 +165,14 @@ class InterSO3Conv(nn.Module):
         # C == 1 means all-ones occupancy input (the backbone's first conv,
         # occupancy_features above): the contraction degenerates to a
         # neighbor-sum of the weights — skip the feature gather entirely.
+        # materialize_rows pins the gather source to the default row-major
+        # tiled layout — XLA otherwise batch-interleaves it to suit the
+        # surrounding dots and every gathered row becomes a strided read
+        # (profiled 3.6-7 ms/gather vs ~1 ms).
         occupancy = C == 1
         feats_c = (
             None if occupancy
-            else feats.astype(jnp.bfloat16).reshape(B, P, A * C)
+            else materialize_rows(feats.astype(jnp.bfloat16).reshape(B, P, A * C))
         )
         rk_arr = jnp.asarray(rk)
         # ETCH_INTERCONV_PALLAS=0 falls back to the XLA einsum (debugging /

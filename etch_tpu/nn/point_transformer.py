@@ -201,6 +201,49 @@ class PointTransformerBlock(nn.Module):
         return nn.relu(h + identity)
 
 
+class _BlockScanBody(nn.Module):
+    """nn.scan body for a run of identical-shape transformer blocks.
+
+    carry = features x; (p, train, idx) ride along as broadcast inputs.
+    Each scan step gets its own parameter slice (variable_axes 0)."""
+
+    planes: int
+    share_planes: int
+    nsample: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, p, train, idx):
+        x = PointTransformerBlock(
+            planes=self.planes,
+            share_planes=self.share_planes,
+            nsample=self.nsample,
+            dtype=self.dtype,
+            name="block",
+        )(p, x, train, idx=idx)
+        return x, ()
+
+
+def _repeated_blocks(n, planes, share_planes, nsample, dtype, name):
+    """n stacked transformer blocks compiled once via nn.scan (the unrolled
+    loop emitted n copies of the block HLO; at blocks=[2,3,4,6,3] x 2 heads
+    that was 26 bodies in the program)."""
+    return nn.scan(
+        nn.remat(_BlockScanBody, static_argnums=(3,)),
+        length=n,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+        out_axes=0,
+    )(
+        planes=planes,
+        share_planes=share_planes,
+        nsample=nsample,
+        dtype=dtype,
+        name=name,
+    )
+
+
 class PointTransformerUNet(nn.Module):
     """Shared 5-level encoder/decoder trunk (reference :125-260).
 
@@ -236,14 +279,16 @@ class PointTransformerUNet(nn.Module):
             )(p, x, train, down=geom[lvl].get("down"))
             idx = geom[lvl]["self"]
             level_idx.append(idx)
-            for b in range(1, self.blocks[lvl]):
-                x = Block(
+            n_rep = self.blocks[lvl] - 1
+            if n_rep > 0:
+                x, _ = _repeated_blocks(
+                    n_rep,
                     planes=self.planes[lvl],
                     share_planes=self.share_planes,
                     nsample=self.nsamples[lvl],
                     dtype=self.dtype,
-                    name=f"enc{lvl+1}_block{b}",
-                )(p, x, train, idx=idx)
+                    name=f"enc{lvl+1}_blocks",
+                )(x, p, train, idx)
             skips.append((p, x))
 
         # decoder head at the coarsest level

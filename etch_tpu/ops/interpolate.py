@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from etch_tpu.ops.knn import knn
-from etch_tpu.ops.grouping import group_points
+from etch_tpu.ops.grouping import gather_points, group_points, materialize_rows
 
 
 def knn_interpolate(
@@ -44,5 +44,14 @@ def knn_interpolate(
     else:
         w = 1.0 / (dist * dist + 1e-8)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
-    grouped = group_points(src_feat, idx)          # (B, N, k, C)
-    return jnp.sum(grouped * w[..., None], axis=2)
+    # k separate row gathers + fused multiply-add instead of one (B, N*k)
+    # gather: the single big gather's (B,N,k,C) output forces a physical
+    # retile before the weighted reduce (profiled 3.3 ms reshape + 3.4 ms
+    # multiply_reduce at the EPN->5000pt propagation); per-k row gathers
+    # write (B,N,C) in final layout and the w-scaled add fuses into each.
+    src2 = materialize_rows(src_feat)
+    out = None
+    for j in range(idx.shape[-1]):
+        g = gather_points(src2, idx[..., j]) * w[..., j:j + 1]
+        out = g if out is None else out + g
+    return out
