@@ -11,7 +11,7 @@ the "etched" inner point is hitpts - vector (reference src/eval.py:116,183).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -43,6 +43,7 @@ class _DirectionCore(nn.Module):
     value_dim: int
     num_heads: int
     num_layers: int
+    dtype: Any = None   # bf16 compute for the attention/MLP stack
 
     @nn.compact
     def __call__(self, tokens: Array) -> Array:  # (chunk, A, C) -> (chunk, 3)
@@ -53,10 +54,14 @@ class _DirectionCore(nn.Module):
             value_dim=self.value_dim,
             num_heads=self.num_heads,
             num_layers=self.num_layers,
+            dtype=self.dtype,
             name="direction_encoder",
         )(tokens)
-        h = BatchMLP(out_features=self.value_dim, name="direction_predictor")(h)
-        w = nn.Dense(1, name="so3_reg")(h)[..., 0]       # (chunk, A)
+        h = BatchMLP(out_features=self.value_dim, dtype=self.dtype,
+                     name="direction_predictor")(h)
+        # anchor weights and the chordal mean stay f32: the rotation mean
+        # is sensitive to the weight distribution
+        w = nn.Dense(1, name="so3_reg")(h.astype(jnp.float32))[..., 0]
         R = so3_mean(jnp.broadcast_to(anchors, w.shape + (3, 3)), w)
         return R[..., :, 2]  # R @ [0,0,1] == third column
 
@@ -68,6 +73,7 @@ class _DirectionScanBody(nn.Module):
     value_dim: int
     num_heads: int
     num_layers: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, carry, tokens):
@@ -76,6 +82,7 @@ class _DirectionScanBody(nn.Module):
             value_dim=self.value_dim,
             num_heads=self.num_heads,
             num_layers=self.num_layers,
+            dtype=self.dtype,
             name="body",
         )(tokens)
         return carry, out
@@ -95,6 +102,7 @@ class DirectionHead(nn.Module):
     num_heads: int = 8
     num_layers: int = 2
     chunk: int = 2048
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, equiv_feat: Array) -> Array:
@@ -121,6 +129,7 @@ class DirectionHead(nn.Module):
             value_dim=self.value_dim,
             num_heads=self.num_heads,
             num_layers=self.num_layers,
+            dtype=self.dtype,
             name="core",
         )
         _, outs = scan(0, xp)                    # (n_chunks, chunk, 3)
@@ -136,13 +145,17 @@ class EtchNet(nn.Module):
     def setup(self):
         plan = _freeze_plan(backbone_plan(self.cfg))
         self.plan = plan
-        self.encoder = EPNBackbone(plan=plan, name="encoder")
+        enc_dtype = jnp.bfloat16 if self.cfg.use_bfloat16 else None
+        self.encoder = EPNBackbone(
+            plan=plan, compute_dtype=enc_dtype, name="encoder"
+        )
         self.epn_feat_dim = plan[-1][-1].dim_out
 
-        self.direction_head = DirectionHead(
-            embed_dim=self.epn_feat_dim, name="direction_head"
-        )
         head_dtype = jnp.bfloat16 if self.cfg.use_bfloat16 else None
+        self.direction_head = DirectionHead(
+            embed_dim=self.epn_feat_dim, dtype=head_dtype,
+            name="direction_head"
+        )
         self.magnitude_head = PointTransformerSeg(
             mode="magnitude",
             planes=(64, 128, 256, 256, 512),

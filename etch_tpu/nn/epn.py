@@ -191,11 +191,13 @@ class InterSO3Conv(nn.Module):
             # weights are computed in-VMEM and never hit HBM; XLA einsum
             # fallback elsewhere and for the backward pass.
             t = interconv_t(gx, gf2, rk_arr, float(self.sigma), A, use_pallas)
-            # project through the kernel-channel matmul on the MXU
-            t = t.reshape(B, chunk, A, K * C)
+            # project through the kernel-channel matmul on the MXU.
+            # Contract (K, C) directly on the 5D tensor: reshaping to
+            # (..., K*C) first makes XLA physically relayout the kernel's
+            # output before the dot (~1.5-1.8 ms copy per chunk).
             out = jax.lax.dot_general(
-                t, W,
-                dimension_numbers=(((3,), (0,)), ((), ())),
+                t, W.reshape(K, C, self.dim_out),
+                dimension_numbers=(((3, 4), (0, 1)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return out + bias                                    # (B,c,A,Cout)
@@ -220,6 +222,7 @@ class IntraSO3Conv(nn.Module):
 
     dim_in: int
     dim_out: int
+    compute_dtype: Any = None   # bf16 at inference (EtchConfig.use_bfloat16)
 
     @nn.compact
     def __call__(self, cloud: SphericalCloud) -> SphericalCloud:
@@ -248,8 +251,14 @@ class IntraSO3Conv(nn.Module):
         W4 = jnp.zeros((A, A, C, O), dtype=W.dtype)
         W4 = W4.at[np.arange(A)[:, None], intra_idx].add(W3[None])
         W2 = jnp.transpose(W4, (1, 2, 0, 3)).reshape(A * C, A * O)
+        # bf16 operands at inference, f32 accumulation: the blown-up
+        # (A*C x A*O) matmul is ~150 GFLOP per conv and FLOP-bound in f32
+        # (profiled 4.7 ms); training keeps f32 operands (reference trains
+        # with TF32 off, train.py:23).
+        cdt = self.compute_dtype or feats.dtype
         out = jax.lax.dot_general(
-            feats.reshape(B, P, A * C), W2,
+            feats.reshape(B, P, A * C).astype(cdt),
+            W2.astype(cdt),
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(B, P, A, self.dim_out) + bias
@@ -292,6 +301,7 @@ class SeparableSO3ConvBlock(nn.Module):
     n_neighbor: int
     lazy_sample: bool
     negative_slope: float = 0.01  # torch leaky_relu default
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, cloud: SphericalCloud):
@@ -312,7 +322,10 @@ class SeparableSO3ConvBlock(nn.Module):
         h = nn.leaky_relu(h, self.negative_slope)
         x = SphericalCloud(x.xyz, h)
 
-        x2 = IntraSO3Conv(dim_in=self.dim_out, dim_out=self.dim_out, name="intra")(x)
+        x2 = IntraSO3Conv(
+            dim_in=self.dim_out, dim_out=self.dim_out,
+            compute_dtype=self.compute_dtype, name="intra",
+        )(x)
         h = InstanceNormPA(name="intra_norm")(x2.feats)
         h = nn.leaky_relu(h, self.negative_slope)
 
@@ -331,6 +344,7 @@ class EPNBackbone(nn.Module):
     etch_tpu.utils.config.backbone_plan)."""
 
     plan: Any  # tuple of blocks, each a tuple of conv descriptor dicts
+    compute_dtype: Any = None  # bf16 inference dtype for FLOP-bound matmuls
 
     @nn.compact
     def __call__(self, xyz: Array):
@@ -349,6 +363,7 @@ class EPNBackbone(nn.Module):
                     sigma=conv.sigma,
                     n_neighbor=conv.n_neighbor,
                     lazy_sample=conv.lazy_sample,
+                    compute_dtype=self.compute_dtype,
                     name=f"block{bi}_conv{ci}",
                 )
                 cloud, sample_idx = blk(cloud)

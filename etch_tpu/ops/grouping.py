@@ -20,6 +20,7 @@ def _copy_kernel(x_ref, o_ref):
     o_ref[0] = x_ref[0]
 
 
+@jax.custom_vjp
 def materialize_rows(x: jnp.ndarray) -> jnp.ndarray:
     """Force (B, N, D) into the default row-major (8,128)-tiled layout.
 
@@ -56,6 +57,19 @@ def materialize_rows(x: jnp.ndarray) -> jnp.ndarray:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
     )(x)
+
+
+def _materialize_rows_fwd(x):
+    return materialize_rows(x), None
+
+
+def _materialize_rows_bwd(_, g):
+    # identity function: pass the cotangent straight through (pallas_call
+    # itself has no autodiff rule, hence the custom_vjp)
+    return (g,)
+
+
+materialize_rows.defvjp(_materialize_rows_fwd, _materialize_rows_bwd)
 
 
 def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -37,3 +37,36 @@ def test_stacked_mhsa_runs_and_shapes():
     y = m.apply(params, x)
     assert y.shape == (B, L, 128)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_pallas_attention_matches_ref():
+    from etch_tpu.nn.pallas_attention import attention_pallas, attention_ref
+
+    B, L, E, H = 16, 60, 64, 8
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(B, L, E).astype(np.float32) / np.sqrt(8))
+    k = jnp.asarray(rng.randn(B, L, E).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, E).astype(np.float32))
+    ref = np.asarray(attention_ref(q, k, v, H))
+    out = np.asarray(attention_pallas(q, k, v, H, tile=8, interpret=True))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 2e-2
+    assert np.mean(np.abs(out - ref)) / scale < 2e-3
+
+
+def test_fused_attention_grads_match_ref():
+    from etch_tpu.nn.pallas_attention import attention_ref, fused_attention
+
+    B, L, E, H = 4, 12, 16, 4
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(B, L, E).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, E).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, E).astype(np.float32))
+
+    g1 = jax.grad(lambda a, b, c: jnp.sum(
+        fused_attention(a, b, c, H, False) ** 2), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda a, b, c: jnp.sum(
+        attention_ref(a, b, c, H) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
