@@ -288,6 +288,85 @@ class PointnetSO3Conv(nn.Module):
         return jnp.max(h, axis=axis)  # (B, P, C) or (B, A, C)
 
 
+class KernelPropagation(nn.Module):
+    """Occupancy-style initial conv from a raw fragment onto sampled centers
+    (reference vgtk modules.py:41-86 + the initial_anchor_query CUDA kernel,
+    grouping_cuda_kernel.cu:117-180; part of the EPN model zoo, never
+    constructed by an ETCH entry point — rebuilt for inventory completeness).
+
+    For every fragment point within `radius` of a center, every anchor-rotated
+    kernel point accumulates relu(1 - d^2/sigma); counts of in-radius points
+    normalize as wts / (count + 1).  A (K -> dim_out) 1x1 conv (BasicSO3Conv)
+    embeds the per-(center, anchor) kernel occupancy.
+    """
+
+    dim_out: int
+    n_center: int
+    kernel_size: int
+    radius: float
+    sigma: float
+    n_anchor: int = 60
+    chunk: int = 4096     # fragment points per streamed step
+
+    @nn.compact
+    def __call__(self, frag: Array, clouds: Array) -> SphericalCloud:
+        """frag: (M, 3) raw fragment; clouds: (B, P, 3) -> SphericalCloud
+        with feats (B, n_center, A, dim_out)."""
+        kernels = get_kernel_points(self.radius, self.kernel_size)   # (K, 3)
+        anchors = get_anchors(self.n_anchor)
+        A, K = self.n_anchor, kernels.shape[0]
+        rk = jnp.asarray(
+            np.einsum("aij,kj->kai", anchors, kernels).reshape(K * A, 3),
+            dtype=frag.dtype,
+        )
+
+        B, P, _ = clouds.shape
+        if P == self.n_center:
+            centers = clouds
+        else:
+            centers = gather_points(clouds, fps(clouds, self.n_center))
+        M = frag.shape[0]
+        pad = (-M) % self.chunk
+        fr = jnp.pad(frag, ((0, pad), (0, 0))).reshape(-1, self.chunk, 3)
+        valid = jnp.pad(jnp.ones((M,), frag.dtype),
+                        ((0, pad),)).reshape(-1, self.chunk)
+
+        def body(carry, args):
+            wts, ctn = carry
+            x, v = args                                   # (chunk,3),(chunk,)
+            # (B, nc, chunk) center->fragment distances
+            diff = centers[:, :, None, :] - x[None, None, :, :]
+            inball = (
+                jnp.sqrt(jnp.sum(diff * diff, axis=-1)) <= self.radius
+            ).astype(frag.dtype) * v[None, None, :]
+            # (B, nc, chunk, K*A) kernel-point weights
+            d = diff[:, :, :, None, :] + rk[None, None, None, :, :]
+            w = jax.nn.relu(1.0 - jnp.sum(d * d, axis=-1) / self.sigma)
+            wts = wts + jnp.einsum(
+                "bncs,bnc->bns", w, inball
+            ).reshape(B, self.n_center, K, A)
+            ctn = ctn + jnp.sum(inball, axis=-1)[..., None, None]
+            return (wts, ctn), None
+
+        init = (
+            jnp.zeros((B, self.n_center, K, A), frag.dtype),
+            jnp.zeros((B, self.n_center, 1, 1), frag.dtype),
+        )
+        (wts, ctn), _ = jax.lax.scan(body, init, (fr, valid))
+        wts = wts / (ctn + 1.0)                           # (B, nc, K, A)
+
+        W = self.param(
+            "W", nn.initializers.xavier_uniform(), (K, self.dim_out),
+            frag.dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.constant(1e-3), (self.dim_out,),
+            frag.dtype,
+        )
+        feats = jnp.einsum("bnka,ko->bnao", wts, W) + bias
+        return SphericalCloud(centers, feats)
+
+
 class SeparableSO3ConvBlock(nn.Module):
     """inter-conv -> intra-conv with normalized skip connection
     (reference src/models/so3conv.py:145-183)."""

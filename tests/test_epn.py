@@ -81,3 +81,46 @@ def test_occupancy_features():
     f = occupancy_features(xyz)
     assert f.shape == (2, 10, 60, 1)
     assert float(f.min()) == 1.0
+
+
+def test_kernel_propagation_matches_cuda_oracle():
+    """KernelPropagation == the reference initial_anchor_query semantics
+    (grouping_cuda_kernel.cu:117-180 + modules.py:71-86 normalization)."""
+    import numpy as np
+    from etch_tpu.geometry import get_anchors, get_kernel_points
+    from etch_tpu.nn.epn import KernelPropagation
+
+    rng = np.random.RandomState(0)
+    B, P, M = 2, 16, 64
+    radius, sigma = 0.4, 0.08
+    clouds = rng.randn(B, P, 3).astype(np.float32) * 0.3
+    frag = rng.randn(M, 3).astype(np.float32) * 0.3
+
+    mod = KernelPropagation(
+        dim_out=8, n_center=P, kernel_size=1, radius=radius, sigma=sigma,
+        chunk=16,
+    )
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(frag),
+                      jnp.asarray(clouds))
+    out = mod.apply(params, jnp.asarray(frag), jnp.asarray(clouds))
+
+    kernels = get_kernel_points(radius, 1)
+    anchors = get_anchors(60)
+    K = kernels.shape[0]
+    rk = np.einsum("aij,kj->kai", anchors, kernels)      # (K, A, 3)
+    wts = np.zeros((B, P, K, 60), np.float32)
+    ctn = np.zeros((B, P), np.float32)
+    for b in range(B):
+        for m in range(M):
+            for c in range(P):
+                if np.linalg.norm(clouds[b, c] - frag[m]) <= radius:
+                    ctn[b, c] += 1.0
+                    d = frag[m] - (clouds[b, c] + rk)    # (K, A, 3)
+                    w = np.maximum(1.0 - np.sum(d * d, -1) / sigma, 0.0)
+                    wts[b, c] += w
+    wts = wts / (ctn[:, :, None, None] + 1.0)
+    W = np.asarray(params["params"]["W"])
+    bias = np.asarray(params["params"]["bias"])
+    expect = np.einsum("bnka,ko->bnao", wts, W) + bias
+    np.testing.assert_allclose(np.asarray(out.feats), expect,
+                               rtol=2e-4, atol=2e-5)
