@@ -19,11 +19,12 @@ The kernel keeps everything in VMEM per tile of T centers:
       w = relu( (2/sigma) x.rk  +  (1 - |rk|^2/sigma)  -  |x|^2/sigma )
     The x.rk term is an f32 (T*nn, 3)@(3, A*K) dot (HIGHEST precision: the
     relu edge needs ~1e-4 absolute accuracy in d2/sigma, beyond bf16).
-  * the per-(center, anchor) contraction packs G=12 anchors per MXU call:
+  * the per-(center, anchor) contraction packs G anchors per MXU call:
     (nn, G*K)^T @ (nn, G*C) -> (G*K, G*C), of which the G diagonal (K, C)
     blocks are extracted into the (T, A, K, C) output tile.  The off-diagonal
     FLOPs are the price of MXU-shaped matmuls — G trades waste against
-    per-call overhead (measured flat between G=6..15).
+    per-call overhead; the v5e sweep puts the optimum at G=4 (5.5 ms vs
+    6.2 at G=12 per 512-center C=32 chunk; G=2 collapses to 11.9).
   * output is written bf16 (it feeds the bf16 (K*C -> C_out) projection).
 
 The backward pass reuses the XLA einsum path via custom_vjp: training runs
@@ -41,8 +42,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_T = 4        # centers per grid step
-_G = 12       # anchors per MXU call
+_T = 4        # centers per grid step (2 for wide channels, see below)
+_G = 4        # anchors per MXU call: measured optimum on v5e — smaller G
+              # means less off-diagonal FLOP waste in the packed dot; below
+              # G=4 per-dot overhead dominates (G=2 is 2x slower than G=4)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -154,17 +157,22 @@ def _kernel_c1(T, nn, A, K, gx_ref, gf_ref, rks_ref, al_ref, e_ref, o_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sigma", "A", "out_dtype", "interpret")
+    jax.jit,
+    static_argnames=("sigma", "A", "out_dtype", "interpret", "tile", "group"),
 )
 def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
-                       interpret: bool = False):
+                       interpret: bool = False, tile: int | None = None,
+                       group: int | None = None):
     """Pallas path.  Same contract as interconv_t_xla (t may be bf16)."""
     B, c, nn, _ = gx.shape
     C = 1 if gf2 is None else gf2.shape[3] // A
     AK = rk.shape[0]
     K = AK // A
-    # C==1 writes (T, A*K) blocks whose second-to-last dim must be 8-aligned
-    T = 8 if C == 1 else _T
+    G = group or _G
+    # C==1 writes (T, A*K) blocks whose second-to-last dim must be 8-aligned;
+    # wide channels (C>=64) prefer fewer centers per step (sweep in
+    # docs/DESIGN.md)
+    T = tile or (8 if C == 1 else (2 if C >= 64 else _T))
     # pad centers to a multiple of T (harmless garbage rows, sliced off)
     pad = (-c) % T
     if pad:
@@ -204,11 +212,11 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
         extra_specs = [pl.BlockSpec((A, AK), lambda b, i: (0, 0),
                                     memory_space=pltpu.VMEM)]
     else:
-        if A % _G:
-            raise ValueError(f"A={A} not divisible by anchor group {_G}")
+        if A % G:
+            raise ValueError(f"A={A} not divisible by anchor group {G}")
         gfk = gf2.reshape(B, cp * nn, A * C).astype(jnp.bfloat16)
         mids = [gx2, gfk]
-        kern = functools.partial(_kernel, T, _G, nn, A, K, C)
+        kern = functools.partial(_kernel, T, G, nn, A, K, C)
         out_shape = jax.ShapeDtypeStruct((B, cp, A, K, C), out_dtype)
         out_spec = pl.BlockSpec((1, T, A, K, C), lambda b, i: (b, i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
