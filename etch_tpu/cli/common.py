@@ -21,6 +21,12 @@ def add_model_args(p: argparse.ArgumentParser):
         default="datafolder/useful_data_4d-dress/superset_smpl.json",
     )
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument(
+        "--use_bfloat16", action="store_true",
+        help="bf16 compute for heads/attention/intra-conv (f32 params and "
+             "accumulation); inference defaults to this in bench, training "
+             "defaults to f32 like the reference's TF32-off policy",
+    )
 
 
 def add_data_args(p: argparse.ArgumentParser):
@@ -53,6 +59,7 @@ def config_from_args(args) -> EtchConfig:
         magnitude_w=getattr(args, "magnitude_w", 1.0),
         part_label_w=getattr(args, "part_label_w", 1.0),
         confidence_w=getattr(args, "confidence_w", 1.0),
+        use_bfloat16=getattr(args, "use_bfloat16", False),
     )
 
 
