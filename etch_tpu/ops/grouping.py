@@ -72,6 +72,36 @@ def _materialize_rows_bwd(_, g):
 materialize_rows.defvjp(_materialize_rows_fwd, _materialize_rows_bwd)
 
 
+@jax.custom_vjp
+def _flat_gather(flat: jnp.ndarray, gidx: jnp.ndarray) -> jnp.ndarray:
+    """flat: (T, ...), gidx: (R,) int32 -> (R, ...)."""
+    return flat[gidx]
+
+
+def _flat_gather_fwd(flat, gidx):
+    return flat[gidx], (gidx, flat.shape, flat.dtype)
+
+
+def _flat_gather_bwd(res, g):
+    gidx, shape, dtype = res
+    T = shape[0]
+    # One-hot matmul instead of the default scatter-add transpose: XLA's
+    # TPU scatter emitter runs at ~100 GB/s effective (15.9 ms at 131k
+    # gradient rows x 1920 lanes), while the one-hot dot pattern-matches to
+    # an optimized path (2.4 ms measured; the (R, T) one-hot is never
+    # materialized).
+    g2 = g.reshape(g.shape[0], -1)
+    oh = jax.nn.one_hot(gidx, T, dtype=g2.dtype)
+    dflat = jax.lax.dot_general(
+        oh, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    return dflat.reshape(shape), None
+
+
+_flat_gather.defvjp(_flat_gather_fwd, _flat_gather_bwd)
+
+
 def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """feats: (B, N, ...), idx: (B, M) -> (B, M, ...).
 
@@ -82,13 +112,14 @@ def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     3.6-7 ms per inter-conv gather).  A 2D (B*N, ...) operand leaves only
     the natural row-major layout, and the same gather runs ~5-9x faster.
     (take_along_axis is worse still: its trailing broadcast dims lower to an
-    element-wise gather with slice size 1.)
+    element-wise gather with slice size 1.)  The backward pass is a one-hot
+    matmul (see _flat_gather_bwd).
     """
     B, N = feats.shape[:2]
     M = idx.shape[1]
     flat = feats.reshape((B * N,) + feats.shape[2:])
     gidx = (idx + (jnp.arange(B, dtype=idx.dtype) * N)[:, None]).reshape(B * M)
-    return flat[gidx].reshape((B, M) + feats.shape[2:])
+    return _flat_gather(flat, gidx).reshape((B, M) + feats.shape[2:])
 
 
 def group_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

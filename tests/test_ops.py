@@ -128,3 +128,31 @@ def test_interpolation_weights():
     feat = np.array([[[1.0], [2.0], [3.0], [100.0]]], dtype=np.float32)
     out = np.asarray(knn_interpolate(src, dst, feat, k=2))
     np.testing.assert_allclose(out[0, 0, 0], 1.5, atol=1e-4)
+
+
+def test_gather_points_grad_matches_scatter():
+    """The one-hot-matmul backward == the default scatter-add transpose."""
+    rng = np.random.RandomState(7)
+    B, N, M, D = 2, 32, 48, 6
+    feats = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, N, (B, M)).astype(np.int32))
+
+    def loss_ours(f):
+        return jnp.sum(gather_points(f, idx) ** 2)
+
+    def loss_ref(f):
+        # plain indexing (default scatter-add VJP)
+        return jnp.sum(jax.vmap(lambda a, b: a[b])(f, idx) ** 2)
+
+    g1 = jax.grad(loss_ours)(feats)
+    g2 = jax.grad(loss_ref)(feats)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+
+    # 3D trailing dims
+    feats3 = jnp.asarray(rng.randn(B, N, 3, 4).astype(np.float32))
+    g3 = jax.grad(lambda f: jnp.sum(gather_points(f, idx) ** 2))(feats3)
+    g4 = jax.grad(lambda f: jnp.sum(
+        jax.vmap(lambda a, b: a[b])(f, idx) ** 2))(feats3)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g4),
+                               rtol=1e-5, atol=1e-6)
