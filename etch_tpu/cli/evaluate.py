@@ -45,7 +45,10 @@ def main(argv=None):
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--datafolder_root", type=str, default=".")
     p.add_argument("--allow_synthetic_body", action="store_true")
-    p.add_argument("--save_debug", action="store_true", default=True)
+    # reference eval.py exports ~10 debug plys per sample; default OFF here
+    # so a plain eval run measures V2V without paying the file IO
+    p.add_argument("--save_debug", action=argparse.BooleanOptionalAction,
+                   default=False)
     args = p.parse_args(argv)
     # eval default split (reference eval.py:273)
     if args.activated_ids_path.endswith("train_ids.pkl"):
@@ -140,20 +143,32 @@ def main(argv=None):
                     os.path.join(d, f"pred_inner_points_pred_part_labels_{id_}.ply"),
                 )
 
-        # fit grouped by gender (reference eval.py:185-211)
+        # fit grouped by gender (reference eval.py:185-211): one vmapped
+        # batched fit per gender present in the batch, not B serial B=1 fits
+        by_gender = {}
         for j in range(B):
-            gender = batch["gender"][j]
+            by_gender.setdefault(batch["gender"][j], []).append(j)
+        fits = {}
+        for gender, idxs in by_gender.items():
             gp = pipe_for(gender)
-            verts, params, markers, valid, joints = gp.fit(
-                pred["inner_points"][j : j + 1],
-                pred["part_labels"][j : j + 1],
-                pred["confidences"][j : j + 1],
+            sel = np.asarray(idxs)
+            verts_g, params_g, markers_g, valid_g, joints_g = gp.fit(
+                pred["inner_points"][sel],
+                pred["part_labels"][sel],
+                pred["confidences"][sel],
             )
+            for pos, j in enumerate(idxs):
+                fits[j] = (gp, verts_g[pos],
+                           {k: v[pos] for k, v in params_g.items()},
+                           valid_g[pos], joints_g[pos])
+
+        for j in range(B):
+            gp, verts_j, params_j, valid_j, joints_j = fits[j]
             id_ = batch["id"][j]
             d = os.path.join(output_folder, id_)
             os.makedirs(d, exist_ok=True)
 
-            final_verts = np.asarray(verts[0])
+            final_verts = np.asarray(verts_j)
             save_obj(
                 os.path.join(d, f"forwarded_smpl_mesh_on_pred_{id_}.obj"),
                 TriMesh(final_verts, gp.body_model.faces),
@@ -169,7 +184,9 @@ def main(argv=None):
                     total_v2v += v2v
                     n_samples += 1
                     print(f"{id_} v2v: {v2v}")
-                    full = int(np.asarray(valid[0]).sum()) == valid.shape[1]
+                    full = (
+                        int(np.asarray(valid_j).sum()) == valid_j.shape[0]
+                    )
                     with open(score_path, "a") as f:
                         f.write(
                             f"{id_}: {v2v}"
@@ -177,14 +194,14 @@ def main(argv=None):
                             + "\n"
                         )
 
-            pose = np.asarray(params["pose"][0]).reshape(23, 3)
+            pose = np.asarray(params_j["pose"]).reshape(23, 3)
             np.savez(
                 os.path.join(d, f"output_smpl_info_{id_}.npz"),
                 body_pose=pose[:21], hand_pose=pose[21:23],
-                betas=np.asarray(params["betas"][0]),
-                global_orient=np.asarray(params["global_orient"][0]),
-                transl=np.asarray(params["transl"][0]),
-                joints=np.asarray(joints[0]),
+                betas=np.asarray(params_j["betas"]),
+                global_orient=np.asarray(params_j["global_orient"]),
+                transl=np.asarray(params_j["transl"]),
+                joints=np.asarray(joints_j),
             )
 
     if n_samples:

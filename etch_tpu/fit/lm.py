@@ -45,3 +45,34 @@ def levenberg_marquardt(
         return x + step_size * delta
 
     return jax.lax.fori_loop(0, num_steps, step, x0)
+
+
+def levenberg_marquardt_with_history(
+    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    num_steps: int,
+    step_size: float,
+    damping: float,
+):
+    """Same update rule as `levenberg_marquardt`, additionally returning the
+    residual 2-norm at the START of each iteration plus the final norm
+    ((num_steps + 1,)) — the observable used to validate parity against the
+    Theseus trace (reference fit_SMPL.py:186-255; Theseus LevenbergMarquardt
+    with spherical damping `AtA + damping*I`, constant step size, stage-1
+    damping = 1e-3, the `compute_delta` signature default when eval.py passes
+    none)."""
+    P = x0.shape[0]
+    eye = jnp.eye(P, dtype=x0.dtype)
+
+    def step(x, _):
+        r = residual_fn(x)
+        J = jax.jacfwd(residual_fn)(x)
+        delta = jnp.linalg.solve(J.T @ J + damping * eye, -(J.T @ r))
+        x_new = x + step_size * delta
+        return x_new, jnp.linalg.norm(r)
+
+    x_fin, norms = jax.lax.scan(step, x0, None, length=num_steps)
+    norms = jnp.concatenate(
+        [norms, jnp.linalg.norm(residual_fn(x_fin))[None]]
+    )
+    return x_fin, norms

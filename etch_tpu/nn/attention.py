@@ -84,14 +84,16 @@ class MultiHeadAttention(nn.Module):
             # (and 480 deep for the AV dot) — MXU-shaped, bf16 inputs, f32
             # accumulation.
             # Head dim H rides ABOVE k in the logits so the softmax reduces
-            # over the minor (lane) dim, and the softmax runs on bf16 logits
-            # (f32 exp/sum): measured 3.7 vs 4.7 (k-minor-of-H) vs 5.6
-            # (plain per-head dots) ms per chunk-layer at (2048, 60, 64).
+            # over the minor (lane) dim, and when compute dtype is bf16 the
+            # softmax runs on bf16 logits (f32 exp/sum): measured 3.7 vs 4.7
+            # (k-minor-of-H) vs 5.6 (plain per-head dots) ms per chunk-layer
+            # at (2048, 60, 64).  Compute dtype follows the module config so
+            # f32 training really is f32 (TF32-off reference policy).
             mask = np.zeros((E, H), np.float32)
             for h in range(H):
                 mask[h * hs:(h + 1) * hs, h] = 1.0
             scale = 1.0 / float(np.sqrt(hs))
-            cdt = jnp.bfloat16
+            cdt = jnp.dtype(self.dtype) if self.dtype is not None else x.dtype
             maskc = jnp.asarray(mask, cdt)
             qb = (q * scale).astype(cdt)
             k2 = jnp.einsum("bke,eh->bhke", k.astype(cdt), maskc)

@@ -55,6 +55,12 @@ class ConvSpec(NamedTuple):
     lazy_sample: bool
     n_in: int
     n_out: int
+    # explicit "features are all-ones occupancy" marker for the backbone's
+    # first conv (reference functional.py:70-89): the inter conv then skips
+    # the feature gather outright.  Explicit rather than inferred from
+    # dim_in == 1 so a genuine 1-channel feature input is never silently
+    # mis-handled.
+    occupancy_input: bool = False
 
 
 class SphericalCloud(NamedTuple):
@@ -107,6 +113,12 @@ class InterSO3Conv(nn.Module):
     sigma: float
     n_neighbor: int
     lazy_sample: bool
+    # features are identically-1 occupancy input (first conv): skip the
+    # feature gather; the contraction is a neighbor-sum of weights
+    occupancy_input: bool = False
+    # bf16 streaming dtype when set (EtchConfig.use_bfloat16); None keeps
+    # the policy dtype (f32 training, reference TF32-off semantics)
+    compute_dtype: Any = None
     # points per streamed step: peak memory ~ B*chunk*nn*A*K floats for the
     # kernel-weight block (~400 MB at B=4, nn=64, 60x24, chunk=256) — far
     # fewer sequential steps than a VMEM-sized chunk would give, and XLA
@@ -155,9 +167,10 @@ class InterSO3Conv(nn.Module):
 
         # The contraction streams ~|chunk|*nn*(A*K + A*C) floats per chunk
         # through HBM (the kernel-weight block and the gathered features) —
-        # it is bandwidth-bound, so both stream in bfloat16 with f32
-        # accumulation.  Weights are exact in bf16 relative tolerance and the
-        # reduction over nn=64 keeps f32 partials via preferred_element_type.
+        # it is bandwidth-bound, so with use_bfloat16 both stream in bfloat16
+        # with f32 accumulation (f32 otherwise, preserving the reference's
+        # TF32-off training policy).  The reduction over nn=64 keeps f32
+        # partials via preferred_element_type.
         # Features are flattened to (A*C,) rows BEFORE the gather: gathering
         # (A, C)-shaped rows and flattening after forces a physical (8,128)
         # retile of the 0.5 GB gathered block (measured 18.6 ms vs 5.7 ms
@@ -169,10 +182,16 @@ class InterSO3Conv(nn.Module):
         # tiled layout — XLA otherwise batch-interleaves it to suit the
         # surrounding dots and every gathered row becomes a strided read
         # (profiled 3.6-7 ms/gather vs ~1 ms).
-        occupancy = C == 1
+        occupancy = self.occupancy_input
+        if occupancy:
+            assert C == 1, (
+                f"occupancy_input conv expects 1-channel all-ones features, "
+                f"got C={C}"
+            )
+        stream_dt = self.compute_dtype or feats.dtype
         feats_c = (
             None if occupancy
-            else materialize_rows(feats.astype(jnp.bfloat16).reshape(B, P, A * C))
+            else materialize_rows(feats.astype(stream_dt).reshape(B, P, A * C))
         )
         rk_arr = jnp.asarray(rk)
         # ETCH_INTERCONV_PALLAS=0 falls back to the XLA einsum (debugging /
@@ -379,6 +398,7 @@ class SeparableSO3ConvBlock(nn.Module):
     sigma: float
     n_neighbor: int
     lazy_sample: bool
+    occupancy_input: bool = False
     negative_slope: float = 0.01  # torch leaky_relu default
     compute_dtype: Any = None
 
@@ -394,6 +414,8 @@ class SeparableSO3ConvBlock(nn.Module):
             sigma=self.sigma,
             n_neighbor=self.n_neighbor,
             lazy_sample=self.lazy_sample,
+            occupancy_input=self.occupancy_input,
+            compute_dtype=self.compute_dtype,
             name="inter",
         )
         x, sample_idx = inter(cloud)
@@ -442,6 +464,7 @@ class EPNBackbone(nn.Module):
                     sigma=conv.sigma,
                     n_neighbor=conv.n_neighbor,
                     lazy_sample=conv.lazy_sample,
+                    occupancy_input=conv.occupancy_input,
                     compute_dtype=self.compute_dtype,
                     name=f"block{bi}_conv{ci}",
                 )

@@ -95,7 +95,9 @@ def _kernel(T, G, nn, A, K, C, gx_ref, gf_ref, rks_ref, al_ref, o_ref):
     )                                                        # (T*nn, A*K)
     # rks/al/bx are pre-scaled by 1/sigma (see wrapper)
     w = jnp.maximum(m + bx * al_ref[1:2, :1] + al_ref[0:1, :], 0.0)
-    w = w.astype(jnp.bfloat16)
+    # contraction dtype follows the streamed feature dtype (bf16 only when
+    # the caller streams bf16; f32 features keep a full-precision dot)
+    w = w.astype(gf_ref.dtype)
     gf = gf_ref[0]                                           # (T*nn, A*C)
     NG = A // G
     for t in range(T):
@@ -199,7 +201,7 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
                                 memory_space=pltpu.VMEM)
         gf_spec = None
     elif C == 1:
-        gfk = gf2.reshape(B, cp * nn, A).astype(jnp.bfloat16).astype(jnp.float32)
+        gfk = gf2.reshape(B, cp * nn, A).astype(jnp.float32)
         mids = [gx2, gfk]
         kern = functools.partial(_kernel_c1, T, nn, A, K)
         out_shape = jax.ShapeDtypeStruct((B, cp, AK), out_dtype)
@@ -214,7 +216,7 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
     else:
         if A % G:
             raise ValueError(f"A={A} not divisible by anchor group {G}")
-        gfk = gf2.reshape(B, cp * nn, A * C).astype(jnp.bfloat16)
+        gfk = gf2.reshape(B, cp * nn, A * C)
         mids = [gx2, gfk]
         kern = functools.partial(_kernel, T, G, nn, A, K, C)
         out_shape = jax.ShapeDtypeStruct((B, cp, A, K, C), out_dtype)
@@ -246,7 +248,14 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
 
 def _interconv_primal(gx, gf2, rk, sigma, A, use_pallas):
     if use_pallas:
-        return interconv_t_pallas(gx, gf2, rk, sigma, A).astype(jnp.float32)
+        # output dtype follows the streamed feature dtype: bf16 features ->
+        # bf16 t (halves the write bandwidth of the largest intermediate),
+        # f32 features (or occupancy) -> f32 t (strict-f32 training policy)
+        bf16_in = gf2 is not None and gf2.dtype == jnp.bfloat16
+        od = jnp.bfloat16 if bf16_in else jnp.float32
+        return interconv_t_pallas(
+            gx, gf2, rk, sigma, A, out_dtype=od
+        ).astype(jnp.float32)
     return interconv_t_xla(gx, gf2, rk, sigma, A)
 
 

@@ -46,16 +46,19 @@ def ball_query(
     N = support.shape[1]
     # Sort-free Pallas path on TPU (the XLA top_k below lowers to a full
     # per-row sort over N); identical first-k-in-index-order results.
-    if N >= 512:
+    if N >= 512 and jax.default_backend() == "tpu":
+        from etch_tpu.ops import _dispatch
         try:
             from etch_tpu.ops.pallas_knn import ball_query_pallas
-            if jax.default_backend() == "tpu":
-                return ball_query_pallas(
-                    jax.lax.stop_gradient(query),
-                    jax.lax.stop_gradient(support), float(radius), nsample,
-                )
-        except Exception:
-            pass
+            out = ball_query_pallas(
+                jax.lax.stop_gradient(query),
+                jax.lax.stop_gradient(support), float(radius), nsample,
+            )
+            _dispatch.record("ball_query", "pallas")
+            return out
+        except Exception as e:  # trace-time Mosaic/shape failures
+            _dispatch.warn_fallback("ball_query", e)
+            _dispatch.record("ball_query", "xla")
     return _ball_query_xla(query, support, radius, nsample, chunk)
 
 

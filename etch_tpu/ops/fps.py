@@ -54,12 +54,15 @@ def fps(xyz: jnp.ndarray, m: int, lazy: bool = False) -> jnp.ndarray:
         raise ValueError(f"fps: m={m} > N={N}")
     # Pallas path for large clouds on TPU; tiny clouds stay on the XLA loop
     # (negligible cost there, and Mosaic miscompiles some sub-128 configs).
-    if N >= 256:
+    import jax as _jax
+    if N >= 256 and _jax.default_backend() == "tpu":
+        from etch_tpu.ops import _dispatch
         try:
             from etch_tpu.ops.pallas_fps import fps_pallas
-            import jax as _jax
-            if _jax.default_backend() == "tpu":
-                return fps_pallas(xyz, m)
-        except Exception:
-            pass
+            out = fps_pallas(xyz, m)
+            _dispatch.record("fps", "pallas")
+            return out
+        except Exception as e:  # trace-time Mosaic/shape failures
+            _dispatch.warn_fallback("fps", e)
+            _dispatch.record("fps", "xla")
     return _fps_xla(xyz, m)

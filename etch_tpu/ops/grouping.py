@@ -10,6 +10,8 @@ parity and testability.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -72,34 +74,55 @@ def _materialize_rows_bwd(_, g):
 materialize_rows.defvjp(_materialize_rows_fwd, _materialize_rows_bwd)
 
 
-@jax.custom_vjp
+@functools.lru_cache(maxsize=None)
+def _make_flat_gather(shape: tuple, dtype_name: str, on_tpu: bool):
+    """Build a custom_vjp flat row-gather closed over static shape/dtype.
+
+    shape/dtype must NOT travel through the custom_vjp residuals (residuals
+    are a pytree of JAX values; an np.dtype there raises TypeError under
+    jax.grad), so this factory bakes them in statically, keyed by
+    (shape, dtype, backend).
+    """
+    dtype = jnp.dtype(dtype_name)
+    T = shape[0]
+
+    @jax.custom_vjp
+    def flat_gather(flat, gidx):
+        return flat[gidx]
+
+    def fwd(flat, gidx):
+        return flat[gidx], gidx
+
+    def bwd(gidx, g):
+        if not on_tpu:
+            # Default scatter-add transpose. On CPU/GPU the one-hot matmul
+            # below can materialize a (R, T) one-hot (tens of GB at
+            # production shapes) when the fusion doesn't fire.
+            zero = jnp.zeros(shape, g.dtype)
+            dflat = zero.at[gidx].add(g)
+            return dflat.astype(dtype), None
+        # One-hot matmul instead of the default scatter-add transpose: XLA's
+        # TPU scatter emitter runs at ~100 GB/s effective (15.9 ms at 131k
+        # gradient rows x 1920 lanes), while the one-hot dot pattern-matches
+        # to an optimized path (2.4 ms measured; the (R, T) one-hot is never
+        # materialized).
+        g2 = g.reshape(g.shape[0], -1)
+        oh = jax.nn.one_hot(gidx, T, dtype=g2.dtype)
+        dflat = jax.lax.dot_general(
+            oh, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        return dflat.reshape(shape), None
+
+    flat_gather.defvjp(fwd, bwd)
+    return flat_gather
+
+
 def _flat_gather(flat: jnp.ndarray, gidx: jnp.ndarray) -> jnp.ndarray:
     """flat: (T, ...), gidx: (R,) int32 -> (R, ...)."""
-    return flat[gidx]
-
-
-def _flat_gather_fwd(flat, gidx):
-    return flat[gidx], (gidx, flat.shape, flat.dtype)
-
-
-def _flat_gather_bwd(res, g):
-    gidx, shape, dtype = res
-    T = shape[0]
-    # One-hot matmul instead of the default scatter-add transpose: XLA's
-    # TPU scatter emitter runs at ~100 GB/s effective (15.9 ms at 131k
-    # gradient rows x 1920 lanes), while the one-hot dot pattern-matches to
-    # an optimized path (2.4 ms measured; the (R, T) one-hot is never
-    # materialized).
-    g2 = g.reshape(g.shape[0], -1)
-    oh = jax.nn.one_hot(gidx, T, dtype=g2.dtype)
-    dflat = jax.lax.dot_general(
-        oh, g2, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
-    return dflat.reshape(shape), None
-
-
-_flat_gather.defvjp(_flat_gather_fwd, _flat_gather_bwd)
+    fn = _make_flat_gather(tuple(flat.shape), jnp.dtype(flat.dtype).name,
+                           jax.default_backend() == "tpu")
+    return fn(flat, gidx)
 
 
 def gather_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -43,17 +43,19 @@ def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, chunk: int = 4096):
     # Sort-free Pallas path on TPU for large supports (the XLA top_k below
     # lowers to a full per-row sort); identical results.  Neighbor indices
     # and IDW distances carry no gradient in the reference either (CUDA ops).
-    if N >= 512:
+    if N >= 512 and jax.default_backend() == "tpu":
+        from etch_tpu.ops import _dispatch
         try:
             from etch_tpu.ops.pallas_knn import knn_pallas
-            if jax.default_backend() == "tpu":
-                idx, d2 = knn_pallas(
-                    jax.lax.stop_gradient(query),
-                    jax.lax.stop_gradient(support), k,
-                )
-                return idx, jnp.sqrt(jnp.maximum(d2, 0.0))
-        except Exception:
-            pass
+            idx, d2 = knn_pallas(
+                jax.lax.stop_gradient(query),
+                jax.lax.stop_gradient(support), k,
+            )
+            _dispatch.record("knn", "pallas")
+            return idx, jnp.sqrt(jnp.maximum(d2, 0.0))
+        except Exception as e:  # trace-time Mosaic/shape failures
+            _dispatch.warn_fallback("knn", e)
+            _dispatch.record("knn", "xla")
     return _knn_xla(query, support, k, chunk)
 
 

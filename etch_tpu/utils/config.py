@@ -154,6 +154,7 @@ def backbone_plan(cfg: EtchConfig):
                 n_neighbor=neighbor,
                 lazy_sample=lazy_sample,
                 n_in=n_in, n_out=n_out,
+                occupancy_input=(i == 0 and j == 0),
             ))
             dim_in = dim_out
             n_in = n_out

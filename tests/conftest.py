@@ -32,3 +32,8 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert not jax._src.xla_bridge.backends_are_initialized(), (
     "a jax backend was initialized before conftest could select CPU"
 )
+
+
+# Bundled data assets (markersets, sample scan + GT): vendored under
+# <repo>/datafolder so the test suite stands alone (no /root/reference).
+DATAROOT = os.path.join(os.path.dirname(__file__), "..", "datafolder")

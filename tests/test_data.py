@@ -42,7 +42,8 @@ def test_ply_roundtrip(tmp_path):
 
 
 def test_load_reference_binary_ply():
-    path = "/root/reference/datafolder/gt_4D-Dress_data/ply/00122_Inner_Take2_00011.ply"
+    path = os.path.join(os.path.dirname(__file__), "..", "datafolder",
+        "gt_4D-Dress_data", "ply", "00122_Inner_Take2_00011.ply")
     if not os.path.exists(path):
         pytest.skip("sample not mounted")
     pts = load_ply(path)
@@ -126,9 +127,10 @@ def test_ray_cast_sphere():
 
 
 def test_load_bundled_scan_obj():
-    path = (
-        "/root/reference/datafolder/4D-DRESS/data_processed/model/"
-        "00122_Inner_Take2_00011/00122_Inner_Take2_00011.obj"
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "datafolder", "4D-DRESS",
+        "data_processed", "model", "00122_Inner_Take2_00011",
+        "00122_Inner_Take2_00011.obj",
     )
     if not os.path.exists(path):
         pytest.skip("sample not mounted")

@@ -8,11 +8,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-REF = "/root/reference/datafolder"
+REF = os.path.join(os.path.dirname(__file__), "..", "datafolder")
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not os.path.isdir(REF), reason="sample not mounted")
 def test_load_item_on_bundled_sample():
     import json
 

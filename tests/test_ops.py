@@ -4,6 +4,8 @@ The numpy oracles reproduce the documented behavior of the reference CUDA
 kernels (see etch_tpu/ops/*.py docstrings for the file:line citations).
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 

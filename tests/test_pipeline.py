@@ -13,9 +13,10 @@ import jax.numpy as jnp
 from etch_tpu.pipeline import build_pipeline, center_scan
 from etch_tpu.utils.config import EtchConfig
 
-SAMPLE_SCAN = (
-    "/root/reference/datafolder/4D-DRESS/data_processed/model/"
-    "00122_Inner_Take2_00011/00122_Inner_Take2_00011.obj"
+SAMPLE_SCAN = os.path.join(
+    os.path.dirname(__file__), "..", "datafolder",
+    "4D-DRESS", "data_processed", "model",
+    "00122_Inner_Take2_00011", "00122_Inner_Take2_00011.obj",
 )
 
 TINY_N = 256
@@ -65,7 +66,6 @@ def test_fit_outputs(pipe):
     assert np.isfinite(np.asarray(verts)).all()
 
 
-@pytest.mark.skipif(not os.path.exists(SAMPLE_SCAN), reason="sample not mounted")
 def test_bundled_sample_scan(pipe, tmp_path):
     result = pipe.run_scan(SAMPLE_SCAN, num_point=TINY_N, seed=16)
     assert result["vertices"].shape[1] == 3
