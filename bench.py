@@ -9,9 +9,13 @@ src/train.py:163, fit_SMPL.py:68) with random weights (no trained checkpoint
 is required to measure throughput; the compute graph is identical).
 
 vs_baseline: the reference repo publishes no throughput numbers
-(BASELINE.md); the denominator below is a conservative estimate of the CUDA
-reference's end-to-end rate (forward + Theseus LM with 80 full-body LBS
-iterations + autodiff Jacobians on a datacenter GPU ~= 1 scan/sec).
+(BASELINE.md).  The denominator is the OPTIMISTIC analytic bound from
+tools/flops_report.py: 187 GFLOP forward + 590 GFLOP Theseus fit per scan on
+an A100 at 19.5 TFLOP/s f32 (TF32 off, train.py:23) with a generous 25%
+achieved efficiency and 2 ms/LM-iteration driver overhead => <= 3.13
+scans/sec.  A realistic reference rate is far lower (Theseus python-loop
+overhead alone is typically >10 ms/iter), so vs_baseline is a LOWER bound on
+the true speedup.  Derivation + sensitivity: BASELINE.md.
 """
 
 import json
@@ -25,8 +29,9 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_etch_bench")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-# Assumed reference end-to-end rate (scans/sec) for the vs_baseline ratio.
-BASELINE_SCANS_PER_SEC = 1.0
+# Optimistic analytic bound on the CUDA reference's end-to-end rate
+# (tools/flops_report.py; derivation in BASELINE.md).
+BASELINE_SCANS_PER_SEC = 3.13
 
 # batch 8 amortizes per-dispatch and fit overheads (16.9 vs 15.9 scans/sec
 # at batch 4 on v5e-1); serving deployments batch scans anyway
@@ -89,6 +94,22 @@ def main():
     dt = (time.perf_counter() - t0) / REPS - latency
     dt = max(dt, 1e-6)
     scans_per_sec = BATCH / dt
+
+    # Guard against silent Pallas->XLA fallbacks (a Mosaic regression would
+    # otherwise read as a quiet perf cliff): on TPU the dispatcher must have
+    # taken the Pallas path for every hot op.
+    if jax.default_backend() == "tpu":
+        from etch_tpu.ops import _dispatch
+        taken = _dispatch.paths_taken()
+        missing = [op for op in ("fps", "knn", "ball_query")
+                   if taken.get(op) != "pallas"]
+        if missing:
+            print(json.dumps({
+                "metric": "end_to_end_scans_per_sec", "value": 0.0,
+                "unit": "FAILED: Pallas path not taken for %s" % missing,
+                "vs_baseline": 0.0,
+            }))
+            sys.exit(1)
 
     print(json.dumps({
         "metric": "end_to_end_scans_per_sec",
