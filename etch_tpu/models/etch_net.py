@@ -153,19 +153,30 @@ class EtchNet(nn.Module):
 
         head_dtype = jnp.bfloat16 if self.cfg.use_bfloat16 else None
         self.direction_head = DirectionHead(
-            embed_dim=self.epn_feat_dim, dtype=head_dtype,
-            name="direction_head"
+            embed_dim=self.epn_feat_dim,
+            value_dim=self.cfg.dir_value_dim,
+            num_heads=self.cfg.dir_num_heads,
+            num_layers=self.cfg.dir_num_layers,
+            chunk=self.cfg.dir_chunk,
+            dtype=head_dtype,
+            name="direction_head",
         )
         self.magnitude_head = PointTransformerSeg(
             mode="magnitude",
-            planes=(64, 128, 256, 256, 512),
+            planes=self.cfg.unet_planes_magnitude,
+            blocks=self.cfg.unet_blocks,
+            strides=self.cfg.unet_strides,
+            nsamples=self.cfg.unet_nsamples,
             dtype=head_dtype,
             name="magnitude_encoder",
         )
         self.confidence_head = PointTransformerSeg(
             mode="confidence",
             num_classes=self.cfg.num_markers,
-            planes=(128, 128, 256, 256, 512),
+            planes=self.cfg.unet_planes_confidence,
+            blocks=self.cfg.unet_blocks,
+            strides=self.cfg.unet_strides,
+            nsamples=self.cfg.unet_nsamples,
             dtype=head_dtype,
             name="confidence_encoder",
         )
@@ -194,7 +205,9 @@ class EtchNet(nn.Module):
         # cloud — compute FPS/kNN/interpolation queries once for both
         geom = None
         if "confidence" in pred_items or "magnitude" in pred_items:
-            geom = unet_geometry(hitpts)
+            geom = unet_geometry(
+                hitpts, self.cfg.unet_strides, self.cfg.unet_nsamples
+            )
         if "confidence" in pred_items:
             logits, conf = self.confidence_head(
                 hitpts, point_inv, train=train, geom=geom

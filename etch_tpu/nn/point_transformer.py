@@ -331,12 +331,18 @@ class PointTransformerSeg(nn.Module):
     mode: str
     num_classes: int = 1
     planes: Sequence[int] = (64, 128, 256, 256, 512)
+    blocks: Sequence[int] = (2, 3, 4, 6, 3)
+    strides: Sequence[int] = (1, 4, 4, 4, 4)
+    nsamples: Sequence[int] = (8, 16, 16, 16, 16)
     dtype: Any = None  # e.g. jnp.bfloat16 for bandwidth-bound inference
 
     @nn.compact
     def __call__(self, p: Array, feat: Array, train: bool = True, geom=None):
         x = jnp.concatenate([p, feat], axis=-1)
-        h = PointTransformerUNet(planes=self.planes, dtype=self.dtype, name="unet")(p, x, train, geom=geom)
+        h = PointTransformerUNet(
+            planes=self.planes, blocks=self.blocks, strides=self.strides,
+            nsamples=self.nsamples, dtype=self.dtype, name="unet",
+        )(p, x, train, geom=geom)
         B, N, c0 = h.shape
 
         if self.mode == "magnitude":

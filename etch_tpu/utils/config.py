@@ -46,6 +46,23 @@ class EtchConfig:
     epochs: int = 30
     seed: int = 1
 
+    # ---- model width/depth knobs ------------------------------------------
+    # Defaults are the reference production sizes (so3net.py:36-48,
+    # pointtransformer_seg.py:262-268, direction_backbones.py:197-223).
+    # Sharding correctness is width-independent, so the multi-chip dryrun and
+    # the 8-vs-1-device equivalence test run on `EtchConfig.tiny()` instead of
+    # paying a production-width compile on a 1-core CI host.
+    epn_mlps: Optional[Tuple[Tuple[int, ...], ...]] = None  # None -> reference
+    unet_planes_magnitude: Tuple[int, ...] = (64, 128, 256, 256, 512)
+    unet_planes_confidence: Tuple[int, ...] = (128, 128, 256, 256, 512)
+    unet_blocks: Tuple[int, ...] = (2, 3, 4, 6, 3)
+    unet_strides: Tuple[int, ...] = (1, 4, 4, 4, 4)
+    unet_nsamples: Tuple[int, ...] = (8, 16, 16, 16, 16)
+    dir_value_dim: int = 128
+    dir_num_heads: int = 8
+    dir_num_layers: int = 2
+    dir_chunk: int = 2048
+
     # loss weights (src/train.py:168-171)
     direction_w: float = 1.0
     magnitude_w: float = 1.0
@@ -75,7 +92,41 @@ class EtchConfig:
     def from_json(s: str) -> "EtchConfig":
         d = json.loads(s)
         epn = EPNConfig(**d.pop("epn", {}))
+        # JSON turns tuples into lists; restore hashable tuples so the flax
+        # module treats the config as a static attribute.
+        for f in dataclasses.fields(EtchConfig):
+            if f.name in d and isinstance(d[f.name], list):
+                d[f.name] = tuple(
+                    tuple(x) if isinstance(x, list) else x for x in d[f.name]
+                )
         return EtchConfig(epn=epn, **d)
+
+    @staticmethod
+    def tiny(num_point: int = 256, batch_size: int = 8, **kw) -> "EtchConfig":
+        """Minimum-width config exercising every code path (EPN separable
+        blocks, all 5 U-Net levels, dual confidence head, MHSA direction
+        head).  Used by the multi-chip dryrun and the 8-vs-1-device
+        equivalence test, where the statement under test (GSPMD sharding
+        correctness) is independent of layer width."""
+        defaults = dict(
+            num_point=num_point,
+            batch_size=batch_size,
+            epn_mlps=((8, 8), (8, 8)),
+            unet_planes_magnitude=(8, 16, 16, 16, 16),
+            unet_planes_confidence=(8, 16, 16, 16, 16),
+            unet_blocks=(1, 1, 1, 1, 1),
+            unet_strides=(1, 4, 4, 4, 4),
+            unet_nsamples=(4, 4, 4, 4, 4),
+            dir_value_dim=16,
+            dir_num_heads=2,
+            dir_num_layers=1,
+            dir_chunk=512,
+            # small EPN neighbor schedule: nominal input_num drives the
+            # n_neighbor arithmetic (backbone_plan), 128 keeps it ~8-16
+            epn=EPNConfig(input_num=128),
+        )
+        defaults.update(kw)
+        return EtchConfig(**defaults)
 
 
 def backbone_plan(cfg: EtchConfig):
@@ -88,7 +139,10 @@ def backbone_plan(cfg: EtchConfig):
 
     Returns a list of blocks; each block is a list of conv descriptors dicts.
     """
-    mlps = [[32, 32], [64, 64], [128, 128], [256, 256]][: cfg.epn_layer_num]
+    if cfg.epn_mlps is not None:
+        mlps = [list(b) for b in cfg.epn_mlps][: cfg.epn_layer_num]
+    else:
+        mlps = [[32, 32], [64, 64], [128, 128], [256, 256]][: cfg.epn_layer_num]
     strides = [2, 2, 2, 2][: cfg.epn_layer_num]
 
     # NOTE: the schedule is driven by the *nominal* input_num from the EPN
@@ -134,7 +188,10 @@ def backbone_plan(cfg: EtchConfig):
                 * radius_ratio[i] ** (1 / cfg.epn.sampling_density)
             )
             if i == 0 and j == 0:
-                neighbor *= int(input_num / 1024)
+                # reference so3net.py:96; max(1,..) guards sub-1024 nominal
+                # input_num (tiny configs) — the factor is >=1 for every
+                # reference config (input_num defaults to 1024)
+                neighbor *= max(1, int(input_num / 1024))
             neighbor *= 2  # stride_conv is always true (xyz_pooling=None)
 
             if j == 0:
