@@ -48,6 +48,30 @@ def create_train_state(
     return model, state, tx
 
 
+def _guarded_update(tx, loss, grads, state: TrainState, new_stats) -> TrainState:
+    """Apply the optimizer update, skipping it ENTIRELY on a non-finite loss.
+
+    The reference `continue`s past `optimizer.step()` on a NaN loss
+    (src/train.py:111-123), so neither params nor Adam moments/bias-correction
+    step may move; NaN gradients on a *finite*-loss batch are zeroed
+    (train.py:119-123 equivalent).  BatchNorm running stats still advance:
+    torch BN updates them during the forward pass, before the NaN check.
+    """
+    grads = jax.tree.map(jnp.nan_to_num, grads)
+    loss_ok = jnp.isfinite(loss)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    keep = lambda new, old: jax.tree.map(
+        lambda n, o: jnp.where(loss_ok, n, o), new, old
+    )
+    return TrainState(
+        params=keep(new_params, state.params),
+        batch_stats=new_stats,
+        opt_state=keep(new_opt, state.opt_state),
+        step=state.step + 1,
+    )
+
+
 def make_train_step(model: EtchNet, tx: optax.GradientTransformation, cfg: EtchConfig):
     """Build the jitted train step.  Shard the batch over a data mesh before
     calling; XLA inserts the gradient collectives."""
@@ -69,23 +93,7 @@ def make_train_step(model: EtchNet, tx: optax.GradientTransformation, cfg: EtchC
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch)
-
-        # NaN protection (reference train.py:111-123): a NaN loss skips the
-        # update; NaN gradients are zeroed.
-        grads = jax.tree.map(jnp.nan_to_num, grads)
-        loss_ok = jnp.isfinite(loss)
-        grads = jax.tree.map(
-            lambda g: jnp.where(loss_ok, g, jnp.zeros_like(g)), grads
-        )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            params=new_params,
-            batch_stats=new_stats,
-            opt_state=new_opt,
-            step=state.step + 1,
-        )
-        return new_state, losses
+        return _guarded_update(tx, loss, grads, state, new_stats), losses
 
     return train_step
 
@@ -129,17 +137,7 @@ def make_train_step_dynamic(
         (loss, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch)
-        grads = jax.tree.map(jnp.nan_to_num, grads)
-        loss_ok = jnp.isfinite(loss)
-        grads = jax.tree.map(
-            lambda g: jnp.where(loss_ok, g, jnp.zeros_like(g)), grads
-        )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(
-            params=new_params, batch_stats=new_stats,
-            opt_state=new_opt, step=state.step + 1,
-        ), losses
+        return _guarded_update(tx, loss, grads, state, new_stats), losses
 
     return train_step
 

@@ -83,6 +83,60 @@ def test_gmm_prior():
     assert (nll_far > nll0).all()
 
 
+def test_nan_batch_skips_entire_update():
+    """A non-finite loss must leave params AND Adam moments/step untouched —
+    the reference `continue`s past optimizer.step() (src/train.py:111-123).
+    Runtime on the 1-core CI host: ~40 s (tiny config)."""
+    from etch_tpu.train.state import create_train_state, make_train_step
+
+    cfg = EtchConfig.tiny(num_point=64, batch_size=1)
+    rng = jax.random.PRNGKey(0)
+    example = jnp.zeros((1, cfg.num_point, 3), jnp.float32)
+    model, state, tx = create_train_state(cfg, rng, example)
+    train_step = make_train_step(model, tx, cfg)
+
+    rs = np.random.RandomState(0)
+    v = rs.randn(1, cfg.num_point, 3).astype(np.float32)
+    batch = {
+        "hitpts": (0.2 * v / np.linalg.norm(v, axis=-1, keepdims=True)),
+        "vectors": rs.randn(1, cfg.num_point, 3).astype(np.float32) * 0.01,
+        "confidences": rs.rand(1, cfg.num_point, 1).astype(np.float32),
+        "labels": rs.randint(0, 86, (1, cfg.num_point)).astype(np.int32),
+    }
+    # NaN target vectors -> NaN MSE loss
+    nan_batch = dict(batch, vectors=np.full_like(batch["vectors"], np.nan))
+
+    new_state, losses = train_step(state, nan_batch)
+    assert not np.isfinite(float(losses["all_loss"]))
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(state.params),
+        jax.tree_util.tree_leaves_with_path(new_state.params),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"param {jax.tree_util.keystr(kp)} moved on a NaN batch",
+        )
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(state.opt_state),
+        jax.tree_util.tree_leaves_with_path(new_state.opt_state),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"opt_state {jax.tree_util.keystr(kp)} moved on a NaN batch",
+        )
+    # a clean batch through the same compiled step must still update
+    upd_state, losses = train_step(state, batch)
+    assert np.isfinite(float(losses["all_loss"]))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(upd_state.params),
+        )
+    )
+    assert moved, "finite-loss batch did not update params"
+
+
 def test_marker_extraction_underflow_safe():
     """conf^20 must not underflow for small confidences (the stable-weights
     path); reference raw conf**20 underflows below ~1e-16."""
