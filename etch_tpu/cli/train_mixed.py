@@ -130,7 +130,8 @@ def main(argv=None):
             f"{k}={v:.5f}" for k, v in epoch_losses.items()
         ))
         save_train_state(
-            os.path.join(args.output_folder, "checkpoints"), epoch, state
+            os.path.join(args.output_folder, "checkpoints"), epoch, state,
+            config_json=cfg.to_json(),
         )
     logger.plot()
 

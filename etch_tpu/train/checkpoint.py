@@ -8,6 +8,7 @@ optimizer state + step so training is actually resumable.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import Any, Optional, Tuple
 
@@ -17,6 +18,23 @@ import orbax.checkpoint as ocp
 from etch_tpu.train.state import TrainState
 
 
+def tree_signature(params: Any) -> str:
+    """Stable hash of the param-tree structure (keypaths + shapes + dtypes).
+
+    Guards checkpoint restore against silent tree migrations: the round-1
+    nn.scan refactor changed the tree and would have made any older
+    checkpoint fail to load *silently* (PARITY.md §5).  The signature is
+    saved alongside the arrays and checked on restore.
+    """
+    rows = []
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(params):
+        rows.append(
+            f"{jax.tree_util.keystr(kp)}:{tuple(leaf.shape)}:{leaf.dtype}"
+        )
+    digest = hashlib.sha256("\n".join(sorted(rows)).encode()).hexdigest()
+    return digest[:16]
+
+
 def _manager(directory: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(
         os.path.abspath(directory),
@@ -24,14 +42,21 @@ def _manager(directory: str, max_to_keep: int = 5) -> ocp.CheckpointManager:
     )
 
 
-def save_train_state(directory: str, step: int, state: TrainState) -> None:
+def save_train_state(
+    directory: str, step: int, state: TrainState, config_json: str = ""
+) -> None:
     mgr = _manager(directory)
+    meta = {
+        "tree_signature": tree_signature(state.params),
+        "config": config_json,
+    }
     mgr.save(
         step,
         args=ocp.args.Composite(
             params=ocp.args.StandardSave(state.params),
             batch_stats=ocp.args.StandardSave(dict(state.batch_stats)),
             opt_state=ocp.args.StandardSave(state.opt_state),
+            meta=ocp.args.JsonSave(meta),
         ),
     )
     mgr.wait_until_finished()
@@ -45,6 +70,25 @@ def restore_train_state(
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint under {directory}")
+    # tree-version guard: refuse a silent partial/mismatched restore
+    try:
+        meta = mgr.restore(
+            step, args=ocp.args.Composite(meta=ocp.args.JsonRestore())
+        )["meta"]
+    except Exception:
+        meta = None  # pre-guard checkpoint (no meta item): restore as before
+    if meta is not None:
+        want = tree_signature(template.params)
+        got = meta.get("tree_signature")
+        if got != want:
+            mgr.close()
+            raise ValueError(
+                f"checkpoint param-tree signature mismatch: checkpoint has "
+                f"{got}, current model builds {want}. The model architecture "
+                f"(or flax module tree) changed since this checkpoint was "
+                f"written; load it with the config it was trained under "
+                f"(saved alongside: meta['config'])."
+            )
     restored = mgr.restore(
         step,
         args=ocp.args.Composite(

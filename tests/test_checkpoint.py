@@ -18,7 +18,9 @@ from etch_tpu.utils.config import EtchConfig
 
 @pytest.fixture(scope="module")
 def small_state():
-    cfg = EtchConfig(num_point=128)
+    # tiny config: checkpoint logic is width-independent and production
+    # widths pay a pointless multi-minute init on the 1-core CI host
+    cfg = EtchConfig.tiny(num_point=128, batch_size=1)
     rng = jax.random.PRNGKey(0)
     example = jnp.zeros((1, 128, 3), jnp.float32)
     model, state, tx = create_train_state(cfg, rng, example)
@@ -53,3 +55,19 @@ def test_restore_missing_raises(tmp_path, small_state):
     model, state, tx = small_state
     with pytest.raises(FileNotFoundError):
         restore_train_state(str(tmp_path / "nope"), state)
+
+
+def test_restore_tree_mismatch_raises(tmp_path, small_state):
+    """A checkpoint written under a different model tree must fail restore
+    loudly (tree-version guard), not load partially/silently."""
+    model, state, tx = small_state
+    save_train_state(str(tmp_path / "ckpt"), 1, state, config_json="{}")
+
+    cfg2 = EtchConfig.tiny(
+        num_point=128, batch_size=1, dir_value_dim=8, dir_num_heads=1
+    )
+    rng = jax.random.PRNGKey(0)
+    example = jnp.zeros((1, 128, 3), jnp.float32)
+    _, other_state, _ = create_train_state(cfg2, rng, example)
+    with pytest.raises(ValueError, match="tree signature mismatch"):
+        restore_train_state(str(tmp_path / "ckpt"), other_state)
