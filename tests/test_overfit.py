@@ -41,13 +41,16 @@ def test_overfit_smoke():
 
 
 def test_overfit_full_gate_artifact():
-    """The full-gate evidence from the TPU run must be present and passing."""
+    """The full-gate evidence from the TPU run must be present and passing.
+
+    This is a GATE: a missing artifact FAILS (a skip would read as a pass in
+    a -q run — VERDICT round-2 weak #4)."""
     path = os.path.join(REPO, "docs", "evidence", "overfit_tpu.json")
-    if not os.path.isfile(path):
-        pytest.skip(
-            "full overfit evidence not yet recorded — run "
-            "`python tools/overfit_evidence.py` on the TPU"
-        )
+    assert os.path.isfile(path), (
+        "docs/evidence/overfit_tpu.json is missing — the model-quality gate "
+        "has no evidence. Run `python tools/overfit_evidence.py` on the TPU "
+        "and commit the artifact."
+    )
     with open(path) as f:
         r = json.load(f)
     assert r["steps"] >= 100
