@@ -26,12 +26,16 @@ def _markerset():
     return {f"M{i}": int(v) for i, v in enumerate(np.linspace(0, 299, 86).astype(int))}
 
 
+# Building + compiling the full pipeline takes minutes on the 1-core CI
+# host, so every test that touches the `pipe` fixture or the dryrun lives
+# in the slow tier (see README "Test tiers").
 @pytest.fixture(scope="module")
 def pipe():
     cfg = EtchConfig(num_point=TINY_N)
     return build_pipeline(cfg, _markerset(), allow_synthetic_body=True)
 
 
+@pytest.mark.slow
 def test_predict_shapes_and_finiteness(pipe):
     rng = np.random.RandomState(0)
     z = rng.uniform(-0.9, 0.9, (1, TINY_N))
@@ -51,6 +55,7 @@ def test_predict_shapes_and_finiteness(pipe):
         assert np.isfinite(np.asarray(out[k])).all(), k
 
 
+@pytest.mark.slow
 def test_fit_outputs(pipe):
     rng = np.random.RandomState(1)
     inner = rng.randn(1, TINY_N, 3).astype(np.float32) * 0.2
@@ -66,6 +71,7 @@ def test_fit_outputs(pipe):
     assert np.isfinite(np.asarray(verts)).all()
 
 
+@pytest.mark.slow
 def test_bundled_sample_scan(pipe, tmp_path):
     result = pipe.run_scan(SAMPLE_SCAN, num_point=TINY_N, seed=16)
     assert result["vertices"].shape[1] == 3
@@ -95,6 +101,7 @@ def test_center_scan_roundtrip():
     np.testing.assert_allclose(vmin + vmax, 0.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_cpu_mesh():
     import importlib.util
 
