@@ -12,6 +12,12 @@ TPU-first changes:
     instead of the CUDA register-heap kernel.
   - BatchNorm statistics are taken over (batch, points[, neighbors]) which is
     exactly what torch BatchNorm1d sees on the flattened (B*N, C) layout.
+  - every BatchNorm uses momentum=0.9: torch's default momentum 0.1 means
+    running = 0.9*old + 0.1*new, i.e. flax momentum 0.9.  Flax's own default
+    (0.99) leaves the running stats ~5% at their init values after O(100)
+    steps, which compounds across the U-Net's ~30 BN layers and collapses
+    eval-mode accuracy (measured: 0.999 train-mode vs 0.107 eval-mode label
+    accuracy after a 300-step overfit).
 """
 
 from __future__ import annotations
@@ -95,15 +101,15 @@ class PointTransformerLayer(nn.Module):
 
         # positional encoding MLP: Linear(3,3) -> BN -> ReLU -> Linear(3,c)
         pe = nn.Dense(3, name="linear_p0", dtype=self.dtype)(p_r)
-        pe = nn.BatchNorm(use_running_average=not train, name="linear_p_bn", dtype=self.dtype)(pe)
+        pe = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="linear_p_bn", dtype=self.dtype)(pe)
         pe = nn.relu(pe)
         pe = nn.Dense(c, name="linear_p1", dtype=self.dtype)(pe)              # (B, N, ns, c)
 
         w = g_k - x_q[:, :, None, :] + pe
-        w = nn.BatchNorm(use_running_average=not train, name="linear_w_bn0", dtype=self.dtype)(w)
+        w = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="linear_w_bn0", dtype=self.dtype)(w)
         w = nn.relu(w)
         w = nn.Dense(c // s, name="linear_w0", dtype=self.dtype)(w)
-        w = nn.BatchNorm(use_running_average=not train, name="linear_w_bn1", dtype=self.dtype)(w)
+        w = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="linear_w_bn1", dtype=self.dtype)(w)
         w = nn.relu(w)
         w = nn.Dense(c // s, name="linear_w1", dtype=self.dtype)(w)           # (B, N, ns, c/s)
         w = nn.softmax(w, axis=2)
@@ -126,7 +132,7 @@ class TransitionDown(nn.Module):
     def __call__(self, p: Array, x: Array, train: bool, down=None):
         if self.stride == 1:
             x = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
             return p, nn.relu(x)
         B, N, _ = p.shape
         M = max(1, N // self.stride)
@@ -141,7 +147,7 @@ class TransitionDown(nn.Module):
         g_p = group_points(p, nidx) - new_p[:, :, None, :]  # (B, M, ns, 3)
         h = jnp.concatenate([g_p, g_x], axis=-1)
         h = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
         h = nn.relu(h)
         return new_p, jnp.max(h, axis=2)                    # (B, M, out)
 
@@ -162,13 +168,13 @@ class TransitionUp(nn.Module):
             g = nn.relu(g)
             h = jnp.concatenate([x1, jnp.broadcast_to(g, x1.shape)], axis=-1)
             h = nn.Dense(x1.shape[-1], name="linear1", dtype=self.dtype)(h)
-            h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(h)
             return nn.relu(h)
         a = nn.Dense(self.out_planes, name="linear1", dtype=self.dtype)(x1)
-        a = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(a)
+        a = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(a)
         a = nn.relu(a)
         b = nn.Dense(self.out_planes, name="linear2", dtype=self.dtype)(x2)
-        b = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(b)
+        b = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(b)
         b = nn.relu(b)
         return a + knn_interpolate(p2, p1, b, k=3, use_sqrt=True, idx_dist=up)
 
@@ -185,7 +191,7 @@ class PointTransformerBlock(nn.Module):
     def __call__(self, p: Array, x: Array, train: bool, idx: Array = None) -> Array:
         identity = x
         h = nn.Dense(self.planes, use_bias=False, name="linear1", dtype=self.dtype)(x)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         h = PointTransformerLayer(
             out_planes=self.planes,
@@ -194,10 +200,10 @@ class PointTransformerBlock(nn.Module):
             dtype=self.dtype,
             name="transformer2",
         )(p, h, train, idx=idx)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(h)
         h = nn.relu(h)
         h = nn.Dense(self.planes, use_bias=False, name="linear3", dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn3")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn3")(h)
         return nn.relu(h + identity)
 
 
@@ -347,7 +353,7 @@ class PointTransformerSeg(nn.Module):
 
         if self.mode == "magnitude":
             y = nn.Dense(c0, name="final0", dtype=self.dtype)(h)
-            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="final_bn")(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="final_bn")(y)
             y = nn.relu(y)
             return nn.Dense(1, name="final1", dtype=self.dtype)(y)            # (B, N, 1)
 
@@ -355,7 +361,7 @@ class PointTransformerSeg(nn.Module):
         k = self.num_classes
         # classification branch (reference :144)
         y = nn.Dense(c0, name="cls0", dtype=self.dtype)(h)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="cls_bn")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="cls_bn")(y)
         y = nn.relu(y)
         logits = nn.Dense(k, name="cls1", dtype=self.dtype)(y)                # (B, N, k)
 
