@@ -202,7 +202,10 @@ def build_pipeline(
         params, batch_stats = restore_params(checkpoint_path)
     else:
         example = jnp.zeros((1, cfg.num_point, 3), jnp.float32)
-        variables = model.init(jax.random.PRNGKey(rng_seed), example, train=False)
+        # jitted init: eager init is op-by-op over the axon tunnel
+        variables = jax.jit(lambda r, p: model.init(r, p, train=False))(
+            jax.random.PRNGKey(rng_seed), example
+        )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
     body = load_body_model(

@@ -118,9 +118,30 @@ def save_params(directory: str, params: Any, batch_stats: Any) -> None:
 
 
 def restore_params(directory: str) -> Tuple[Any, Any]:
+    d = os.path.abspath(directory)
+    # training-CheckpointManager layout (<dir>/<step>/{params,batch_stats,…},
+    # written by save_train_state): restore the latest step's inference
+    # subset, so eval/infer --model_path accepts a training checkpoint
+    # directory directly (reference loads the same .pth for train and eval,
+    # src/eval.py:308-309).
+    steps = [
+        int(x) for x in (os.listdir(d) if os.path.isdir(d) else [])
+        if x.isdigit() and os.path.isdir(os.path.join(d, x, "params"))
+    ]
+    if steps:
+        mgr = _manager(d)
+        restored = mgr.restore(
+            max(steps),
+            args=ocp.args.Composite(
+                params=ocp.args.StandardRestore(),
+                batch_stats=ocp.args.StandardRestore(),
+            ),
+        )
+        mgr.close()
+        return restored["params"], restored.get("batch_stats", {})
     ckptr = ocp.StandardCheckpointer()
-    path = os.path.join(os.path.abspath(directory), "weights")
+    path = os.path.join(d, "weights")
     if not os.path.exists(path):
-        path = os.path.abspath(directory)  # allow direct path
+        path = d  # allow direct path
     restored = ckptr.restore(path)
     return restored["params"], restored.get("batch_stats", {})

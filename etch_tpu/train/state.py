@@ -31,13 +31,24 @@ class TrainState:
 
 
 def create_train_state(
-    cfg: EtchConfig, rng: jax.Array, example_points: jnp.ndarray
+    cfg: EtchConfig,
+    rng: jax.Array,
+    example_points: jnp.ndarray,
+    tx: Optional[optax.GradientTransformation] = None,
 ) -> Tuple[EtchNet, TrainState, optax.GradientTransformation]:
+    """Build model/state/optimizer.  `tx` overrides the default Adam(cfg.lr)
+    (reference uses plain Adam, src/train.py:210; overfit-evidence tooling
+    passes a cosine-decayed Adam to converge harder on a fixed batch)."""
     model = EtchNet(cfg=cfg)
-    variables = model.init(rng, example_points, train=True)
+    # jit the init: an eager init dispatches every op individually, which is
+    # pathological over the axon remote-TPU tunnel (~8 ms per round-trip)
+    variables = jax.jit(lambda r, p: model.init(r, p, train=True))(
+        rng, example_points
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
-    tx = optax.adam(cfg.lr)
+    if tx is None:
+        tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
     state = TrainState(
         params=params,
