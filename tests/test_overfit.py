@@ -59,3 +59,40 @@ def test_overfit_full_gate_artifact():
         f"({r['final'] / r['initial']:.1%} of initial)"
     )
     assert r["cosine"] > 0.95, f"direction cosine {r['cosine']:.4f} <= 0.95"
+
+
+def test_realdata_closed_loop_artifact():
+    """Real-data closed-loop evidence (VERDICT round-2 #4): training on the
+    bundled 4D-Dress scan through the REAL GT pipeline must move every
+    quality metric, including end-to-end eval-CLI V2V, far off its
+    random-weights value.  A missing artifact FAILS (gates may not skip).
+    Produced by `python tools/realdata_closed_loop.py` on the TPU."""
+    path = os.path.join(REPO, "docs", "evidence", "realdata_closed_loop.json")
+    assert os.path.isfile(path), (
+        "docs/evidence/realdata_closed_loop.json is missing — run "
+        "`python tools/realdata_closed_loop.py` on the TPU and commit it."
+    )
+    with open(path) as f:
+        r = json.load(f)
+    assert r["steps"] >= 100
+    # cosine gate is 0.8, NOT ~1.0: the artifact's direction_cosine_ceiling
+    # records that a direction field at the backbone's 512-center feature
+    # resolution can score at most ~0.88-0.91 on this sample's real GT
+    # (tools/realdata_closed_loop.py docstring) — 0.845+ is near-ceiling.
+    assert r["after"]["direction_cosine"] > 0.8, r["after"]
+    assert r["after"]["direction_cosine"] > 2.0 * r["before"]["direction_cosine"]
+    assert r["after"]["label_acc"] > 0.8, r["after"]
+    assert r["after"]["marker_err_cm"] < 0.5 * r["before"]["marker_err_cm"], (
+        r["before"], r["after"])
+    # V2V through the full eval CLI, measured against the GT-marker ORACLE
+    # fit (same topology — the raw vertex-indexed number vs the real SMPL
+    # mesh is meaningless with the synthetic smoke body; see the module
+    # docstring of tools/realdata_closed_loop.py)
+    assert r["v2v_oracle_cm_trained"] < 0.5 * r["v2v_oracle_cm_random"], (
+        r["v2v_oracle_cm_random"], r["v2v_oracle_cm_trained"])
+    # marker V2V vs real GT has a floor set by the smoke body's articulation
+    # limits (a straight-chain capsule cannot reach a human marker layout —
+    # measured floor ~30 cm, shared by the oracle fit), so it only gets a
+    # direction-of-change sanity check, not a ratio gate
+    assert r["marker_v2v_cm_trained"] < r["marker_v2v_cm_random"], (
+        r["marker_v2v_cm_random"], r["marker_v2v_cm_trained"])
