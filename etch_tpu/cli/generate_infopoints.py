@@ -45,40 +45,60 @@ def generate_for_pair(
     scan_mesh: TriMesh,
     n_samples: int = N_SAMPLES,
     seed: int = 0,
+    samples=None,
 ):
     """Returns (info_points (M,3) on the scan, info_vectors (M,3) pointing
-    from body to cloth = hit - origin)."""
-    pts, fidx, bary = sample_barycentric(smpl_mesh, n_samples, seed=seed)
-    normals = interpolated_normals(smpl_mesh, fidx, bary)
+    from body to cloth = hit - origin).
+
+    Rejection tests mirror reference scripts/generate_infopoints.py:117-180
+    exactly:
+      1. forward hit into the scan along +normal, distance < 0.16   (:127-131)
+      2. reject a back-side scan hit along -normal within 0.025     (:133-143)
+      3. reject a body self-intersection along -normal within 0.03
+         (the ray is cast INTO the body: thin parts — fingers, pressed
+         limbs — are filtered)                                      (:146-158)
+      4. round-trip: cast from the scan hit back along -normal against the
+         BODY; there must be a hit, and it must land within 1e-4 of the
+         original sample point (a closer body part in between fails) (:161-172)
+    """
+    if samples is None:
+        pts, fidx, bary = sample_barycentric(smpl_mesh, n_samples, seed=seed)
+        normals = interpolated_normals(smpl_mesh, fidx, bary)
+    else:
+        # explicit (points, outward normals) — used by the rejection-branch
+        # unit tests to place rays deterministically
+        pts, normals = (np.asarray(a, np.float64) for a in samples)
 
     scan_caster = MeshRayCaster(scan_mesh, max_dist=MAX_TIGHT)
-    smpl_caster = MeshRayCaster(smpl_mesh, max_dist=SELF_EPS * 2)
+    # the round-trip cast travels up to t_fwd (< MAX_TIGHT) back to the body;
+    # first hits beyond MAX_TIGHT + slack can never land within 1e-4 of the
+    # origin, so capping the caster there preserves the accept set
+    smpl_caster = MeshRayCaster(smpl_mesh, max_dist=MAX_TIGHT * 1.25)
 
-    # forward ray: body surface point -> outward along normal into the scan
+    # 1. forward ray: body surface point -> outward along normal into the scan
     t_fwd, _, hit_fwd = scan_caster.cast(pts, normals)
     ok = hit_fwd & (t_fwd < MAX_TIGHT)
 
-    # rejection 1: a back-side (inward) scan hit very close to the body point
+    # 2. a back-side (inward) scan hit very close to the body point
     t_back, _, hit_back = scan_caster.cast(pts, -normals)
     ok &= ~(hit_back & (t_back < BACKSIDE_EPS))
 
-    # rejection 2: the ray exits through the body itself first (self-hit)
-    orig_eps = pts + normals * 1e-5
-    t_self, _, hit_self = smpl_caster.cast(orig_eps, normals)
+    # 3. body self-intersection along -normal (embree escapes the source
+    # triangle via its origin offset; mirror with a small nudge along the ray)
+    orig_eps = pts - normals * 1e-6
+    t_self, _, hit_self = smpl_caster.cast(orig_eps, -normals)
     ok &= ~(hit_self & (t_self < SELF_EPS))
 
-    # rejection 3: round-trip consistency — casting back from the hit point
-    # toward the body must land on the original point
-    hit_points = pts + normals * t_fwd[:, None]
-    t_rt, _, hit_rt = scan_caster.cast(
-        np.where(ok[:, None], hit_points, pts), normals
-    )
-    # the same forward cast from the hit point should immediately leave the
-    # surface; instead check geometric consistency: |origin + t*n - hit| ~ 0
-    consistency = np.abs(
-        np.linalg.norm(hit_points - pts, axis=1) - t_fwd
-    )
-    ok &= np.where(np.isfinite(consistency), consistency < ROUNDTRIP_EPS, False)
+    # 4. round-trip: from the scan hit, cast -normal against the BODY; require
+    # a hit landing within 1e-4 of the original sample point
+    t_safe = np.where(np.isfinite(t_fwd), t_fwd, 0.0)
+    hit_points = pts + normals * t_safe[:, None]
+    t_rt, _, hit_rt = smpl_caster.cast(hit_points, -normals)
+    rt_points = hit_points - normals * np.where(
+        np.isfinite(t_rt), t_rt, 0.0
+    )[:, None]
+    rt_err = np.linalg.norm(rt_points - pts, axis=1)
+    ok &= hit_rt & (rt_err < ROUNDTRIP_EPS)
 
     info_points = hit_points[ok]
     info_vectors = (hit_points - pts)[ok]

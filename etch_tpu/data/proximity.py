@@ -11,11 +11,34 @@ the reference implementation for its tests.
 from __future__ import annotations
 
 from typing import Tuple
+import warnings
 
 import numpy as np
 from scipy.spatial import cKDTree
 
 from etch_tpu.data.mesh import TriMesh
+
+_warned_raycast_fallback = False
+
+
+def _warn_raycast_fallback() -> None:
+    """One-time loud warning when ray casting degrades to the approximate
+    numpy path (candidate set = k nearest face centroids — exact only when
+    the mesh is locally dense).  GT generated through the fallback could
+    silently differ from the native exact-BVH output otherwise; mirrors
+    etch_tpu.ops._dispatch.warn_fallback."""
+    global _warned_raycast_fallback
+    if _warned_raycast_fallback:
+        return
+    _warned_raycast_fallback = True
+    warnings.warn(
+        "etch_tpu: native C++ BVH unavailable; MeshRayCaster is using the "
+        "APPROXIMATE numpy fallback (KD-tree candidate pruning). Ray-cast GT "
+        "generated this way may differ from the exact BVH path. Build "
+        "etch_tpu/native (see etch_tpu/native/__init__.py) for exact results.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _closest_point_on_triangles(p: np.ndarray, tri: np.ndarray) -> np.ndarray:
@@ -157,6 +180,10 @@ class MeshRayCaster:
     def __init__(self, mesh: TriMesh, max_dist: float = 0.5, use_native: bool = True):
         self.mesh = mesh
         self._bvh = _try_native_bvh(mesh) if use_native else None
+        if use_native and self._bvh is None:
+            # requested the exact path but the native library is missing:
+            # warn loudly (opting out via use_native=False stays silent)
+            _warn_raycast_fallback()
         self.tri = mesh.vertices[mesh.faces]
         self.centroids = self.tri.mean(axis=1)
         self.tree = None if self._bvh is not None else cKDTree(self.centroids)

@@ -1,0 +1,224 @@
+"""Tests for the offline tightness-GT generator (cli/generate_infopoints.py).
+
+Two layers of coverage:
+
+1. Rejection-branch unit tests on constructed box meshes with hand-placed
+   sample rays — each of the reference's rejection tests
+   (scripts/generate_infopoints.py:117-180) must fire on a configuration
+   built to trigger exactly it.  Round 3's review found the round-trip test
+   was a no-op and the self-intersection ray went the wrong way; these tests
+   pin the corrected semantics.
+
+2. A golden comparison against the reference pipeline's own shipped output
+   for the bundled 4D-Dress sample (datafolder/gt_4D-Dress_data/npz).  The
+   reference's accept set is noisy around its float32 1e-4 round-trip
+   threshold (its accept rate is ~40% with rejections scattered, not
+   regional), so the gate is statistical: the accepted (point, vector) pairs
+   must agree where both pipelines accept, and each accept set must cover
+   the other spatially.
+"""
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+from etch_tpu.cli.generate_infopoints import generate_for_pair
+from etch_tpu.data.mesh import TriMesh
+
+from conftest import DATAROOT
+import os
+
+
+def box_mesh(xmin, xmax, ymin, ymax, zmin, zmax):
+    """Axis-aligned closed box with outward-facing triangles."""
+    v = np.array([
+        [xmin, ymin, zmin], [xmax, ymin, zmin],
+        [xmax, ymax, zmin], [xmin, ymax, zmin],
+        [xmin, ymin, zmax], [xmax, ymin, zmax],
+        [xmax, ymax, zmax], [xmin, ymax, zmax],
+    ], np.float64)
+    f = np.array([
+        [0, 2, 1], [0, 3, 2],          # bottom (-z)
+        [4, 5, 6], [4, 6, 7],          # top (+z)
+        [0, 1, 5], [0, 5, 4],          # -y
+        [2, 3, 7], [2, 7, 6],          # +y
+        [0, 4, 7], [0, 7, 3],          # -x
+        [1, 2, 6], [1, 6, 5],          # +x
+    ], np.int32)
+    return TriMesh(v, f)
+
+
+def merge(*meshes):
+    verts, faces, off = [], [], 0
+    for m in meshes:
+        verts.append(m.vertices)
+        faces.append(m.faces + off)
+        off += len(m.vertices)
+    return TriMesh(np.concatenate(verts), np.concatenate(faces))
+
+
+def top_face_samples(n=5, z=0.0, half=0.3):
+    """Points on the z=`z` plane with +z normals, away from box edges."""
+    g = np.linspace(-half, half, n)
+    xx, yy = np.meshgrid(g, g)
+    pts = np.stack([xx.ravel(), yy.ravel(), np.full(xx.size, z)], axis=1)
+    normals = np.tile([0.0, 0.0, 1.0], (len(pts), 1))
+    return pts, normals
+
+
+# body slab: top face at z=0, comfortably thicker than the 0.03 self-test
+BODY = box_mesh(-0.5, 0.5, -0.5, 0.5, -0.2, 0.0)
+
+
+def scan_with_top(ztop):
+    return box_mesh(-1.0, 1.0, -1.0, 1.0, -1.0, ztop)
+
+
+class TestRejectionBranches:
+    def test_forward_accept_and_vector(self):
+        ip, iv = generate_for_pair(
+            BODY, scan_with_top(0.10), samples=top_face_samples()
+        )
+        assert len(ip) == 25
+        np.testing.assert_allclose(iv, np.tile([0, 0, 0.10], (25, 1)),
+                                   atol=1e-9)
+        np.testing.assert_allclose(ip[:, 2], 0.10, atol=1e-9)
+
+    def test_forward_rejects_beyond_ray_length(self):
+        # scan surface 0.2 away > MAX_TIGHT=0.16 (reference :127-131)
+        ip, _ = generate_for_pair(
+            BODY, scan_with_top(0.20), samples=top_face_samples()
+        )
+        assert len(ip) == 0
+
+    def test_backside_rejection(self):
+        # an extra scan sheet 0.01 *behind* the body surface (inside the
+        # body): the -normal scan cast hits it within 0.025 -> reject all
+        # (reference :133-143)
+        sheet = TriMesh(
+            np.array([[-2, -2, -0.01], [2, -2, -0.01],
+                      [2, 2, -0.01], [-2, 2, -0.01]], np.float64),
+            np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        )
+        scan = merge(scan_with_top(0.10), sheet)
+        ip, _ = generate_for_pair(BODY, scan, samples=top_face_samples())
+        assert len(ip) == 0
+        # control: sheet at 0.05 behind (> 0.025) does not reject
+        sheet_far = TriMesh(sheet.vertices - [0, 0, 0.04], sheet.faces)
+        scan2 = merge(scan_with_top(0.10), sheet_far)
+        ip2, _ = generate_for_pair(BODY, scan2, samples=top_face_samples())
+        assert len(ip2) == 25
+
+    def test_self_intersection_rejection_thin_body(self):
+        # 0.02-thick body: the -normal cast INTO the body exits the far side
+        # within 0.03 -> reject (reference :146-158; the round-3 rebuild cast
+        # +normal, which misses this configuration entirely)
+        thin = box_mesh(-0.5, 0.5, -0.5, 0.5, -0.02, 0.0)
+        ip, _ = generate_for_pair(
+            thin, scan_with_top(0.10), samples=top_face_samples()
+        )
+        assert len(ip) == 0
+        # control: 0.2-thick body passes (BODY above)
+        ip2, _ = generate_for_pair(
+            BODY, scan_with_top(0.10), samples=top_face_samples()
+        )
+        assert len(ip2) == 25
+
+    def test_roundtrip_rejects_occluded_rays(self):
+        # a second body part floats between the sampled surface and the scan
+        # over the x>0 half: casting back from the scan hit along -normal
+        # first hits the occluder, landing far from the origin -> reject
+        # (reference :161-172; this was the no-op branch in round 3)
+        occluder = box_mesh(0.05, 0.5, -0.5, 0.5, 0.04, 0.06)
+        body = merge(BODY, occluder)
+        pts, normals = top_face_samples()
+        ip, iv = generate_for_pair(
+            body, scan_with_top(0.10), samples=(pts, normals)
+        )
+        occluded = pts[:, 0] > 0.05
+        accepted_x = ip[:, 0] - iv[:, 0]  # origins of accepted pairs
+        assert len(ip) == int((~occluded).sum())
+        assert (accepted_x <= 0.05).all()
+
+
+class TestGoldenAgreement:
+    """Regenerated infopoints vs the reference pipeline's shipped npz."""
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        scan_p = os.path.join(
+            DATAROOT, "4D-DRESS/data_processed/model/00122_Inner_Take2_00011",
+            "00122_Inner_Take2_00011.obj")
+        smpl_p = os.path.join(
+            DATAROOT, "4D-DRESS/data_processed/smplh/00122_Inner_Take2_00011",
+            "mesh_smpl_00122_Inner_Take2_00011.obj")
+        npz_p = os.path.join(
+            DATAROOT, "gt_4D-Dress_data/npz/00122_Inner_Take2_00011.npz")
+        for p in (scan_p, smpl_p, npz_p):
+            assert os.path.isfile(p), f"bundled asset missing: {p}"
+        from etch_tpu.data.mesh import load_obj
+
+        scan, smpl = load_obj(scan_p), load_obj(smpl_p)
+        ip, iv = generate_for_pair(smpl, scan, seed=0)
+        ref = np.load(npz_p)
+        return ip, iv, ref["info_points"], ref["info_vectors"]
+
+    def test_acceptance_count_band(self, golden):
+        ip, _, rip, _ = golden
+        # ours accepts more than the reference (its float32 1e-4 round-trip
+        # rejects ~half of forward-passers as numerical noise; ours is f64
+        # exact) but must stay within a sane band of the 30k samples
+        assert 15000 <= len(ip) <= 28000, len(ip)
+        assert len(rip) == 11876  # the shipped artifact
+
+    def test_ours_covers_reference_accepts(self, golden):
+        ip, _, rip, _ = golden
+        d, _ = cKDTree(ip).query(rip, k=1)
+        cov = float((d < 0.01).mean())
+        assert cov >= 0.95, f"ref->ours 1cm coverage {cov:.3f}"
+
+    def test_reference_covers_our_accepts(self, golden):
+        ip, _, rip, _ = golden
+        d, _ = cKDTree(rip).query(ip, k=1)
+        cov = float((d < 0.01).mean())
+        # the reference accept set is half the density; 1cm coverage of our
+        # set bounds how much area we accept that the reference excluded
+        assert cov >= 0.80, f"ours->ref 1cm coverage {cov:.3f}"
+
+    def test_matched_vectors_agree(self, golden):
+        ip, iv, rip, riv = golden
+        d, j = cKDTree(ip).query(rip, k=1)
+        m = d < 0.002
+        assert m.sum() > 500
+        ov, vv = iv[j[m]], riv[m]
+        cos = np.sum(vv * ov, 1) / np.clip(
+            np.linalg.norm(vv, axis=1) * np.linalg.norm(ov, axis=1),
+            1e-12, None)
+        assert float(np.median(cos)) > 0.999
+        assert float((cos > 0.99).mean()) > 0.9
+        dmag = np.abs(np.linalg.norm(vv, axis=1) - np.linalg.norm(ov, axis=1))
+        assert float(np.mean(dmag)) < 0.0025  # 2.5 mm
+
+
+def test_raycast_fallback_warns_once(monkeypatch):
+    """The approximate numpy raycaster must announce itself loudly."""
+    import warnings
+
+    import etch_tpu.data.proximity as prox
+
+    monkeypatch.setattr(prox, "_try_native_bvh", lambda mesh: None)
+    monkeypatch.setattr(prox, "_warned_raycast_fallback", False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        prox.MeshRayCaster(BODY, max_dist=0.2, use_native=True)
+        assert any("APPROXIMATE numpy fallback" in str(x.message) for x in w)
+        n_before = len(w)
+        prox.MeshRayCaster(BODY, max_dist=0.2, use_native=True)
+        assert len(w) == n_before  # warned once per process
+
+    # explicit opt-out stays silent
+    monkeypatch.setattr(prox, "_warned_raycast_fallback", False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        prox.MeshRayCaster(BODY, max_dist=0.2, use_native=False)
+        assert not any("APPROXIMATE" in str(x.message) for x in w)
