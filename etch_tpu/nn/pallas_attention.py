@@ -2,20 +2,26 @@
 
 The direction head runs MHSA over L=60 anchor tokens *per point* (reference
 `src/models/direction_backbones.py:129-223`): a batched-tiny attention where
-XLA must materialize the (points, H, L, L) logits/probabilities in HBM —
-profiled at ~3.7 ms per (2048-point, 60, 64) chunk-layer even with the
-packed block-diagonal formulation, almost entirely HBM softmax traffic.
+XLA must materialize the (points, H, L, L) logits/probabilities in HBM.
+Profiled at B=8, N=5000 the XLA packed-block-diagonal path spends ~95 ms per
+forward in the attention fusions alone — mostly HBM traffic on bf16 tiles
+whose minor dims (8, 60) pad to (16, 128), moving ~4x the nominal bytes.
 
-This kernel keeps everything per point in VMEM.  All matmuls are 2D and
-transpose-free via a head-expanded row layout:
+This kernel keeps every intermediate in VMEM and is *phase-structured* so the
+MXU dot streams are never interleaved with per-point VPU work (the round-1
+kernel looped VPU mask-builds between dots and lost to the XLA path):
 
-  K2[h*L+k, e] = k[k, e] * mask[e, h]      (pltpu.repeat + static 0/1 mask)
-  z[q, h*L+k]  = sum_e q[q,e] K2[h*L+k, e]  (dot, contract dim 1 of both)
-  softmax over k within each h block:
-      row max over ALL 480 lanes (a valid shift for every block; exp in f32
-      so a too-large shift cannot underflow bf16), per-(q,h) denominators
-      and their broadcast back to h*L lanes via block-ones matmuls.
-  out[q, e]    = sum attn[q, h*L+k] V2[h*L+k, e],  V2 built like K2.
+  phase 0 (tile-wide, VPU):
+      K2[t, h*L+k, e] = k[t, k, e] * mask[e in head h]   (pltpu.repeat + mask)
+      V2 likewise.
+  phase 1 (per-point MXU, back-to-back):
+      z[t*L+q, h*L+k] = sum_e q[t, q, e] K2[t, h*L+k, e]
+  phase 2 (tile-wide softmax over k within each h block):
+      row max over ALL H*L lanes (a valid shift for every block; exp in f32
+      so a too-large shift cannot underflow), per-(q, h) denominators and
+      their broadcast back to h*L lanes via block-ones matmuls.
+  phase 3 (per-point MXU, back-to-back):
+      out[t, q, e] = sum attn[t*L+q, h*L+k] V2[t, h*L+k, e]
 
 Backward falls back to the XLA reference implementation via custom_vjp
 (the head is wrapped in nn.remat during training anyway).
@@ -49,33 +55,43 @@ def attention_ref(q, k, v, num_heads: int):
     return out.transpose(0, 2, 1, 3).reshape(Bc, L, E)
 
 
-def _kernel(T, L, E, H, q_ref, k_ref, v_ref, mr_ref, go_ref, gt_ref, o_ref):
+def _kernel(T, L, E, H, q_ref, k_ref, v_ref, mr_ref, go_ref, gt_ref, o_ref,
+            k2_s, v2_s, z_s, a_s):
+    HL = H * L
+    # phase 0: head-expanded K/V for the whole tile (one VPU pass each)
+    mask = mr_ref[:, :]                                   # (HL, E) bf16
+    k2_s[:] = pltpu.repeat(k_ref[:], H, axis=1) * mask[None]
+    v2_s[:] = pltpu.repeat(v_ref[:], H, axis=1) * mask[None]
+
+    # phase 1: logits dots, back-to-back (MXU pipelined)
     for t in range(T):
-        kt = pltpu.repeat(k_ref[t], H, axis=0)           # (H*L, E)
-        K2 = (kt * mr_ref[:, :]).astype(jnp.bfloat16)
-        z = jax.lax.dot_general(
-            q_ref[t].astype(jnp.bfloat16), K2,
+        z_s[pl.ds(t * L, L), :] = jax.lax.dot_general(
+            q_ref[t], k2_s[t],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
-        )                                                # (L, H*L)
-        m = jnp.max(z, axis=1, keepdims=True)
-        ez = jnp.exp(z - m)                              # f32
-        denom = jax.lax.dot_general(
-            ez, go_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (L, H)
-        db = jax.lax.dot_general(
-            1.0 / denom, gt_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                # (L, H*L)
-        attn = (ez * db).astype(jnp.bfloat16)
-        vt = pltpu.repeat(v_ref[t], H, axis=0)
-        V2 = (vt * mr_ref[:, :]).astype(jnp.bfloat16)
+        )                                                 # (L, HL)
+
+    # phase 2: tile-wide softmax over each h block of L lanes
+    z = z_s[:]                                            # (T*L, HL) f32
+    m = jnp.max(z, axis=1, keepdims=True)
+    ez = jnp.exp(z - m)
+    denom = jax.lax.dot_general(
+        ez, go_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # (T*L, H)
+    db = jax.lax.dot_general(
+        1.0 / denom, gt_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # (T*L, HL)
+    a_s[:] = (ez * db).astype(a_s.dtype)
+
+    # phase 3: attention-value dots, back-to-back
+    for t in range(T):
         o_ref[t] = jax.lax.dot_general(
-            attn, V2,
+            a_s[pl.ds(t * L, L), :], v2_s[t],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
@@ -83,7 +99,7 @@ def _kernel(T, L, E, H, q_ref, k_ref, v_ref, mr_ref, go_ref, gt_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "tile", "interpret"))
-def attention_pallas(q, k, v, num_heads: int, tile: int = 32,
+def attention_pallas(q, k, v, num_heads: int, tile: int = 16,
                      interpret: bool = False):
     """(Bc, L, E) bf16/f32 -> (Bc, L, E) f32.  q pre-scaled."""
     Bc, L, E = q.shape
@@ -118,9 +134,15 @@ def attention_pallas(q, k, v, num_heads: int, tile: int = 32,
                                memory_space=pltpu.VMEM)],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((Bp, L, E), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((T, H * L, E), cdt),        # K2
+            pltpu.VMEM((T, H * L, E), cdt),        # V2
+            pltpu.VMEM((T * L, H * L), jnp.float32),  # logits
+            pltpu.VMEM((T * L, H * L), cdt),       # attn
+        ],
         interpret=interpret,
     )(q.astype(cdt), k.astype(cdt), v.astype(cdt),
-      jnp.asarray(mask_rows), jnp.asarray(g_ones),
+      jnp.asarray(mask_rows, cdt), jnp.asarray(g_ones),
       jnp.asarray(g_ones.T.copy()))
     return out[:Bc]
 
