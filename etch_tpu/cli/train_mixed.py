@@ -120,10 +120,13 @@ def main(argv=None):
             state, losses = train_step(state, arrays)
             nb += 1
             global_step += 1
+            # device-side accumulation, one fetch per epoch (see cli/train.py)
             for k, v in losses.items():
-                epoch_losses[k] += float(v)
-        for k in epoch_losses:
-            epoch_losses[k] /= max(nb, 1)
+                epoch_losses[k] = epoch_losses[k] + v
+        epoch_losses = {
+            k: float(v) / max(nb, 1)
+            for k, v in jax.device_get(dict(epoch_losses)).items()
+        }
         epoch_losses["epoch_time_s"] = time.time() - t0
         logger.log(epoch, epoch_losses)
         print(f"epoch {epoch}: " + ", ".join(

@@ -197,9 +197,20 @@ def build_pipeline(
     or initializing randomly (for smoke tests and benchmarking)."""
     model = EtchNet(cfg=cfg)
     if checkpoint_path is not None:
-        from etch_tpu.train.checkpoint import restore_params
+        from etch_tpu.train.checkpoint import restore_params, tree_signature
 
-        params, batch_stats = restore_params(checkpoint_path)
+        # expected param-tree signature via eval_shape: free (no compute),
+        # lets restore_params reject an old-architecture checkpoint with an
+        # explicit message instead of an obscure flax apply error
+        example = jnp.zeros((1, cfg.num_point, 3), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda r, p: model.init(r, p, train=False),
+            jax.random.PRNGKey(0), example,
+        )
+        params, batch_stats = restore_params(
+            checkpoint_path,
+            expected_signature=tree_signature(shapes["params"]),
+        )
     else:
         example = jnp.zeros((1, cfg.num_point, 3), jnp.float32)
         # jitted init: eager init is op-by-op over the axon tunnel

@@ -117,7 +117,9 @@ def save_params(directory: str, params: Any, batch_stats: Any) -> None:
     ckptr.wait_until_finished()
 
 
-def restore_params(directory: str) -> Tuple[Any, Any]:
+def restore_params(
+    directory: str, expected_signature: Optional[str] = None
+) -> Tuple[Any, Any]:
     d = os.path.abspath(directory)
     # training-CheckpointManager layout (<dir>/<step>/{params,batch_stats,…},
     # written by save_train_state): restore the latest step's inference
@@ -130,6 +132,28 @@ def restore_params(directory: str) -> Tuple[Any, Any]:
     ]
     if steps:
         mgr = _manager(d)
+        # same tree-version guard as restore_train_state: a checkpoint from
+        # an older architecture must fail HERE with an explicit message, not
+        # later inside flax apply (or silently, if shapes coincide)
+        if expected_signature is not None:
+            try:
+                meta = mgr.restore(
+                    max(steps),
+                    args=ocp.args.Composite(meta=ocp.args.JsonRestore()),
+                )["meta"]
+            except Exception:
+                meta = None  # pre-guard checkpoint: restore as before
+            got = (meta or {}).get("tree_signature")
+            if got is not None and got != expected_signature:
+                mgr.close()
+                raise ValueError(
+                    f"checkpoint param-tree signature mismatch: checkpoint "
+                    f"has {got}, current model builds {expected_signature}. "
+                    f"The model architecture changed since this checkpoint "
+                    f"was written; load it with the config it was trained "
+                    f"under (saved alongside: meta['config'] = "
+                    f"{(meta or {}).get('config', '')[:200]})."
+                )
         restored = mgr.restore(
             max(steps),
             args=ocp.args.Composite(

@@ -217,7 +217,7 @@ def metrics(model, state, batch, gt_mk, cfg):
         "magnitude_mae_m": round(mag_mae, 5),
         "label_acc": round(label_acc, 4),
         "marker_err_cm": round(marker_err_cm, 3),
-        "markers_valid": int(valid.sum()) / valid.shape[0],
+        "markers_valid_frac": round(float(valid.mean()), 4),
     }
 
 
@@ -310,6 +310,9 @@ def main():
         from etch_tpu.train.checkpoint import restore_train_state
 
         state, step = restore_train_state(resume, state)
+        # the eval CLI below loads from ckpt_dir — point it at the resumed
+        # checkpoint so the "trained" V2V always matches the in-memory params
+        ckpt_dir = resume
         train_s, loss_trace = 0.0, []
         prev = os.path.join(REPO, "docs", "evidence", "realdata_closed_loop.json")
         if os.path.isfile(prev):  # keep the original run's training record
