@@ -166,6 +166,32 @@ def _assert_trees_close(t1, t8, global_tol, what):
             f"1- and {N_DEV}-device runs — sharding-bug scale, not noise. "
             f"Worst leaves: {worst}"
         )
+    # Secondary per-leaf gate: a whole-tensor O(1) error in ONE layer (e.g.
+    # a single unsynced BatchNorm out of ~30, or one mis-sharded head) is
+    # diluted by the global norm and could hide under global_tol; bound each
+    # leaf's norm-relative diff at 10x the global tolerance.  Tiny leaves
+    # (zero-init biases) are floored at the tree's global RMS scale so pure
+    # reassociation noise on near-zero tensors cannot trip the gate.
+    total_sq = sum(float(np.sum(v ** 2)) for v in f1.values())
+    total_sz = sum(v.size for v in f1.values())
+    rms = np.sqrt(total_sq / max(total_sz, 1))
+    leaf_tol = 10.0 * global_tol
+    bad = []
+    for k, v in f1.items():
+        if not v.size:
+            continue
+        d = float(np.sqrt(np.sum((v - f8[k]) ** 2)))
+        den = max(float(np.sqrt(np.sum(v ** 2))), rms * np.sqrt(v.size))
+        if d / den > leaf_tol:
+            bad.append((d / den, k))
+    if bad:
+        bad.sort(reverse=True)
+        worst = ", ".join(f"{k}: {r:.3e}" for r, k in bad[:5])
+        raise AssertionError(
+            f"{what}: {len(bad)} leaves exceed the per-leaf relative bound "
+            f"{leaf_tol} between 1- and {N_DEV}-device runs (localized "
+            f"sharding-bug scale): {worst}"
+        )
 
 
 def _assert_trajectories_close(p0, p1, p8, global_tol, what):
