@@ -40,10 +40,13 @@ def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, chunk: int = 4096):
     """
     N = support.shape[1]
     k = min(k, N)
-    # Sort-free Pallas path on TPU for large supports (the XLA top_k below
-    # lowers to a full per-row sort); identical results.  Neighbor indices
-    # and IDW distances carry no gradient in the reference either (CUDA ops).
-    if N >= 512 and jax.default_backend() == "tpu":
+    # Sort-free Pallas path on TPU (the XLA top_k below lowers to a full
+    # per-row sort); identical results.  Measured faster at EVERY level of
+    # the U-Net geometry, including the small supports the old N>=512
+    # threshold excluded (N=312: 1.7 vs 7.3 ms; N=78: 1.0 vs 5.2; N=19:
+    # 0.8 vs 4.9 — devloop, B=8).  Neighbor indices and IDW distances carry
+    # no gradient in the reference either (CUDA ops).
+    if N >= 8 and jax.default_backend() == "tpu":
         from etch_tpu.ops import _dispatch
         try:
             from etch_tpu.ops.pallas_knn import knn_pallas
