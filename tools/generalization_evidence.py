@@ -1,0 +1,205 @@
+"""Held-out generalization evidence (VERDICT round-3 next #3).
+
+Trains the PRODUCTION EtchNet on K_TRAIN synthetic-family bodies built
+through the REAL GT pipeline (tools/generalization_harness.py) and
+evaluates on bodies the model has never seen, upgrading the quality story
+from "memorizes" (overfit_tpu.json, realdata_closed_loop.json) to
+"learns".  Protocol anchor: the reference's held-out-split eval
+(`/root/reference/src/eval.py:234-265`).
+
+Run on the TPU:
+
+    python tools/generalization_evidence.py
+    # writes docs/evidence/generalization.json
+
+Reported per split (train / held-out / random-weights baseline):
+  direction cosine, label accuracy, magnitude MAE, predicted-marker error,
+  and the V2V-oracle protocol from realdata_closed_loop.py: the same
+  synthetic body fitted by the same two-stage LM to the PREDICTED markers
+  vs to the GT markers — same topology, exact per-vertex correspondence.
+
+Gates (validated by tests/test_generalization.py):
+  * held-out direction cosine > 0.75 (the harness family's 3-NN feature-
+    resolution ceiling is recorded alongside),
+  * held-out label accuracy > 0.5 (chance = 1/86),
+  * held-out marker error < 50% of its random-weights value,
+  * held-out V2V-oracle < 50% of its random-weights value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TRAIN_SEEDS = list(range(int(os.environ.get("ETCH_GEN_TRAIN", "12"))))
+EVAL_SEEDS = [100 + i for i in range(int(os.environ.get("ETCH_GEN_EVAL", "4")))]
+SAMPLINGS = int(os.environ.get("ETCH_GEN_SAMPLINGS", "2"))
+STEPS = int(os.environ.get("ETCH_GEN_STEPS", "400"))
+NUM_POINT = int(os.environ.get("ETCH_GEN_N", "5000"))
+BATCH = int(os.environ.get("ETCH_GEN_B", "4"))
+LR = float(os.environ.get("ETCH_GEN_LR", "1e-3"))
+WORKDIR = os.environ.get("ETCH_GEN_WORKDIR", "/tmp/etch_generalization")
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_cache_etch_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def v2v_oracle_cm(model, state, batch, gt_mk, cfg):
+    """V2V (cm) between the synthetic body fitted to PREDICTED markers and
+    the same body fitted to the GT markers (realdata_closed_loop protocol:
+    same topology, exact correspondence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from etch_tpu.body.smpl import marker_submodel, smpl_forward
+    from etch_tpu.fit.markers import extract_markers
+    from etch_tpu.fit.smpl_fit import fit_smpl_params
+    from etch_tpu.pipeline import load_body_model
+    from tools.realdata_closed_loop import _jit_forward
+
+    body = load_body_model("neutral", root=REPO, allow_synthetic=True)
+    nv = int(body.v_template.shape[0])
+    vids = (np.linspace(0, nv - 1, cfg.num_markers)).astype(np.int32)
+    sub = marker_submodel(body, vids)
+
+    out = _jit_forward(model)(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(batch["hitpts"]),
+    )
+    inner = (jnp.asarray(batch["hitpts"])
+             - out["direction"] * out["magnitude"] / cfg.scale_magnitude)
+    mk_pred, valid_pred = extract_markers(
+        inner, jnp.argmax(out["part_labels"], -1), out["confidences"],
+        num_markers=cfg.num_markers,
+    )
+
+    def fit_verts(markers, valid):
+        params = fit_smpl_params(sub, markers, valid)
+        verts, _ = smpl_forward(
+            body, params["betas"], params["pose"],
+            params["global_orient"], params["transl"],
+        )
+        return np.asarray(verts, np.float32)
+
+    v_pred = fit_verts(mk_pred, valid_pred)
+    gt = jnp.asarray(gt_mk)
+    v_gt = fit_verts(gt, jnp.ones(gt.shape[:2], bool))
+    return float(np.linalg.norm(v_pred - v_gt, axis=-1).mean() * 100.0)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    _enable_compile_cache()
+
+    from etch_tpu.train.state import create_train_state, make_train_step
+    from etch_tpu.utils.config import EtchConfig
+    from tools.generalization_harness import build_items
+    from tools.realdata_closed_loop import direction_ceiling, metrics
+
+    os.makedirs(WORKDIR, exist_ok=True)
+    print(f"building {len(TRAIN_SEEDS)} train bodies x{SAMPLINGS} + "
+          f"{len(EVAL_SEEDS)} held-out bodies (N={NUM_POINT})...", flush=True)
+    t0 = time.time()
+    train_batch, train_mk = build_items(
+        WORKDIR, TRAIN_SEEDS, NUM_POINT, samplings=SAMPLINGS)
+    eval_batch, eval_mk = build_items(
+        WORKDIR, EVAL_SEEDS, NUM_POINT, samplings=1)
+    build_s = time.time() - t0
+    print(f"GT built in {build_s:.1f}s "
+          f"({train_batch['hitpts'].shape[0]} train items, "
+          f"{eval_batch['hitpts'].shape[0]} eval items)", flush=True)
+
+    cfg = EtchConfig(num_point=NUM_POINT, batch_size=BATCH, lr=LR)
+    rng = jax.random.PRNGKey(0)
+    example = jnp.zeros((1, NUM_POINT, 3), jnp.float32)
+    sched = optax.cosine_decay_schedule(LR, STEPS, alpha=0.05)
+    model, state, tx = create_train_state(
+        cfg, rng, example, tx=optax.adam(sched))
+    train_step = make_train_step(model, tx, cfg)
+
+    results = {
+        "config": {
+            "train_bodies": len(TRAIN_SEEDS), "samplings": SAMPLINGS,
+            "eval_bodies": len(EVAL_SEEDS), "steps": STEPS,
+            "num_point": NUM_POINT, "batch": BATCH, "lr": LR,
+            "gt_build_seconds": round(build_s, 1),
+        },
+        "direction_ceiling_heldout": direction_ceiling(eval_batch),
+        "random": {
+            "heldout": metrics(model, state, eval_batch, eval_mk, cfg),
+        },
+    }
+    results["random"]["heldout"]["v2v_oracle_cm"] = round(
+        v2v_oracle_cm(model, state, eval_batch, eval_mk, cfg), 3)
+    print("random heldout:", json.dumps(results["random"]["heldout"]),
+          flush=True)
+
+    n_items = train_batch["hitpts"].shape[0]
+    rng_np = np.random.RandomState(0)
+    t0 = time.time()
+    loss_trace = []
+    for i in range(STEPS):
+        idx = rng_np.choice(n_items, BATCH, replace=False)
+        jb = {k: jnp.asarray(v[idx]) for k, v in train_batch.items()}
+        state, losses = train_step(state, jb)
+        if i % 25 == 0 or i == STEPS - 1:
+            l = float(losses["all_loss"])
+            loss_trace.append(round(l, 4))
+            print(f"step {i:4d} loss {l:.4f} "
+                  f"({(time.time() - t0) / (i + 1):.3f} s/step)", flush=True)
+    results["train_seconds"] = round(time.time() - t0, 1)
+    results["loss_trace"] = loss_trace
+
+    trained = {}
+    for split, (b, mk) in (("train", (train_batch, train_mk)),
+                           ("heldout", (eval_batch, eval_mk))):
+        # metrics() runs the full batch at once; train has 24 items — use
+        # the first 8 to bound the forward's memory
+        sl = slice(0, min(8, b["hitpts"].shape[0]))
+        bs = {k: v[sl] for k, v in b.items()}
+        m = metrics(model, state, bs, mk[sl], cfg)
+        m["v2v_oracle_cm"] = round(
+            v2v_oracle_cm(model, state, bs, mk[sl], cfg), 3)
+        trained[split] = m
+        print(f"trained {split}:", json.dumps(m), flush=True)
+    results["trained"] = trained
+
+    rnd, held = results["random"]["heldout"], trained["heldout"]
+    results["gates"] = {
+        "heldout_cosine_gt_0.75": held["direction_cosine"] > 0.75,
+        "heldout_label_acc_gt_0.5": held["label_acc"] > 0.5,
+        "heldout_marker_err_lt_half_random":
+            held["marker_err_cm"] < 0.5 * rnd["marker_err_cm"],
+        "heldout_v2v_oracle_lt_half_random":
+            held["v2v_oracle_cm"] < 0.5 * rnd["v2v_oracle_cm"],
+    }
+    print("gates:", json.dumps(results["gates"]), flush=True)
+
+    out = os.path.join(REPO, "docs", "evidence", "generalization.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out, flush=True)
+    if not all(results["gates"].values()):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

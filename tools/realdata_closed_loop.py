@@ -210,7 +210,10 @@ def metrics(model, state, batch, gt_mk, cfg):
         num_markers=cfg.num_markers,
     )
     mk, valid = np.asarray(mk), np.asarray(valid)
-    err = np.linalg.norm(mk - gt_mk[None], axis=-1)  # (B, 86)
+    # gt_mk: (86, 3) shared across the batch (one scan, B samplings) or
+    # (B, 86, 3) per-item (generalization harness: B different bodies)
+    gt = gt_mk[None] if gt_mk.ndim == 2 else gt_mk
+    err = np.linalg.norm(mk - gt, axis=-1)  # (B, 86)
     marker_err_cm = float(np.mean(err[valid]) * 100.0)
     return {
         "direction_cosine": round(cosine, 4),
