@@ -1,0 +1,114 @@
+"""Production-width sharded smoke on the real chip (VERDICT round-3 next #5).
+
+The 8-device dryrun (`__graft_entry__.dryrun_multichip`) and the equivalence
+test both run `EtchConfig.tiny()` — GSPMD *semantics* are width-independent,
+but a width-dependent sharding/layout failure (e.g. in the chunked interconv
+stream or the nn.scan'd U-Net under a sharded batch dim) would only surface
+on a real multi-chip run.  This closes most of that risk: one jitted TRAIN
+step and one PREDICT at FULL production width (N=5000, reference widths)
+under a 1-device `jax.sharding.Mesh` with the SAME NamedSharding annotations
+as the 8-device path (params replicated, batch sharded over 'data'),
+asserting compile + run succeed on the real TPU and recording step times.
+
+Run on the TPU:
+
+    python tools/prodwidth_smoke.py   # writes docs/evidence/prodwidth_smoke.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NUM_POINT = int(os.environ.get("ETCH_PW_N", "5000"))
+BATCH = int(os.environ.get("ETCH_PW_B", "4"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_cache_etch_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from etch_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from etch_tpu.train.state import create_train_state, make_train_step
+    from etch_tpu.utils.config import EtchConfig
+
+    cfg = EtchConfig(num_point=NUM_POINT, batch_size=BATCH)
+    mesh = make_mesh()  # all local devices: 1 on the real chip, 8 in CI
+    n_dev = len(mesh.devices.ravel())
+    print(f"mesh: {n_dev} device(s), backend={jax.default_backend()}",
+          flush=True)
+
+    rng = jax.random.PRNGKey(0)
+    example = jnp.zeros((1, NUM_POINT, 3), jnp.float32)
+    model, state, tx = create_train_state(cfg, rng, example)
+    state = replicate(mesh, state)
+    train_step = make_train_step(model, tx, cfg)
+
+    rng_np = np.random.RandomState(0)
+    z = rng_np.uniform(-0.9, 0.9, (BATCH, NUM_POINT))
+    th = rng_np.uniform(0, 2 * np.pi, (BATCH, NUM_POINT))
+    r = 0.15 + 0.03 * np.cos(3 * z)
+    pts = np.stack([r * np.cos(th), r * np.sin(th), z], -1).astype(np.float32)
+    batch = shard_batch(mesh, {
+        "hitpts": pts,
+        "vectors": (0.02 * pts / np.linalg.norm(pts, axis=-1, keepdims=True)
+                    ).astype(np.float32),
+        "confidences": np.full((BATCH, NUM_POINT, 1), 0.8, np.float32),
+        "labels": rng_np.randint(0, cfg.num_markers,
+                                 (BATCH, NUM_POINT)).astype(np.int32),
+    })
+
+    results = {"n_devices": n_dev, "num_point": NUM_POINT, "batch": BATCH}
+
+    t0 = time.time()
+    state, losses = train_step(state, batch)
+    loss = float(losses["all_loss"])
+    results["train_compile_plus_step_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    state, losses = train_step(state, batch)
+    loss2 = float(losses["all_loss"])
+    results["train_step_s"] = round(time.time() - t0, 3)
+    assert np.isfinite(loss) and np.isfinite(loss2), (loss, loss2)
+    results["train_loss"] = round(loss2, 4)
+    print(f"train step (sharded, full width): {results['train_step_s']} s, "
+          f"loss {loss2:.4f}", flush=True)
+
+    # predict under the same sharding
+    fwd = jax.jit(lambda v, p: model.apply(v, p, train=False))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    hp = batch["hitpts"]
+    t0 = time.time()
+    out = fwd(variables, hp)
+    cs = float(jnp.sum(out["direction"]) + jnp.sum(out["magnitude"]))
+    results["predict_compile_plus_step_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    out = fwd(variables, hp)
+    cs = float(jnp.sum(out["direction"]) + jnp.sum(out["magnitude"]))
+    results["predict_step_s"] = round(time.time() - t0, 3)
+    assert np.isfinite(cs), cs
+    results["predict_checksum"] = round(cs, 3)
+    print(f"predict (sharded, full width): {results['predict_step_s']} s",
+          flush=True)
+
+    out_path = os.path.join(REPO, "docs", "evidence", "prodwidth_smoke.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out_path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
