@@ -98,7 +98,16 @@ def main():
     # NOTE: on the axon remote backend block_until_ready does not block;
     # fetching a scalar derived from the outputs is the only reliable
     # synchronization, at the cost of one tunnel roundtrip (~40 ms).
-    float(dispatch_once())  # compile + warm
+    warm = float(dispatch_once())  # compile + warm
+    # a non-finite checksum means the pipeline silently produces garbage —
+    # fail the bench rather than report a throughput for broken outputs
+    if not np.isfinite(warm):
+        print(json.dumps({
+            "metric": "end_to_end_scans_per_sec", "value": 0.0,
+            "unit": "FAILED: non-finite pipeline checksum %r" % warm,
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
 
     # Throughput measurement: dispatch all reps back-to-back (JAX async
     # dispatch keeps the device queue full, exactly like a serving loop that
@@ -112,6 +121,13 @@ def main():
     dt = (time.perf_counter() - t0) / REPS
     dt = max(dt, 1e-6)
     scans_per_sec = BATCH / dt
+
+    # per-request latency (synchronized single batch, incl. one tunnel
+    # roundtrip): recorded alongside so the pipelined-throughput headline
+    # stays apples-to-apples with serving-latency questions (ADVICE r3 #5)
+    t0 = time.perf_counter()
+    float(dispatch_once())
+    latency_ms = (time.perf_counter() - t0) * 1e3
 
     # Guard against silent Pallas->XLA fallbacks (a Mosaic regression would
     # otherwise read as a quiet perf cliff): on TPU the dispatcher must have
@@ -132,7 +148,8 @@ def main():
     print(json.dumps({
         "metric": "end_to_end_scans_per_sec",
         "value": round(scans_per_sec, 4),
-        "unit": "scans/sec (predict+fit, N=5000, batch=%d)" % BATCH,
+        "unit": "scans/sec (pipelined throughput, predict+fit, N=%d, batch=%d;"
+                " sync latency %.0f ms/batch)" % (NUM_POINT, BATCH, latency_ms),
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 4),
     }))
 

@@ -41,7 +41,14 @@ def levenberg_marquardt(
         J = jax.jacfwd(residual_fn)(x)          # (R, P)
         JtJ = J.T @ J
         Jtr = J.T @ r
-        delta = jnp.linalg.solve(JtJ + damping * eye, -Jtr)
+        # JtJ + damping*I is symmetric positive definite: Cholesky solve is
+        # ~2x cheaper than the general LU custom-call (the solve is ~40% of
+        # the fit's device time) and agrees with it to machine precision —
+        # the f64 Theseus-setup oracle trace (tests/test_lm_trace.py) gates
+        # the parity at rtol 1e-4.
+        delta = jax.scipy.linalg.cho_solve(
+            (jnp.linalg.cholesky(JtJ + damping * eye), True), -Jtr
+        )
         return x + step_size * delta
 
     return jax.lax.fori_loop(0, num_steps, step, x0)
@@ -67,7 +74,11 @@ def levenberg_marquardt_with_history(
     def step(x, _):
         r = residual_fn(x)
         J = jax.jacfwd(residual_fn)(x)
-        delta = jnp.linalg.solve(J.T @ J + damping * eye, -(J.T @ r))
+        # same SPD Cholesky solve as levenberg_marquardt, so the Theseus
+        # oracle trace gates the production solver
+        delta = jax.scipy.linalg.cho_solve(
+            (jnp.linalg.cholesky(J.T @ J + damping * eye), True), -(J.T @ r)
+        )
         x_new = x + step_size * delta
         return x_new, jnp.linalg.norm(r)
 

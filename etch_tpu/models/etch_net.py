@@ -17,7 +17,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from etch_tpu.geometry import get_anchors, so3_mean
+from etch_tpu.geometry import get_anchors
+from etch_tpu.geometry.so3 import project_to_so3
 from etch_tpu.nn.attention import BatchMLP, StackedMHSA
 from etch_tpu.nn.epn import EPNBackbone
 from etch_tpu.nn.point_transformer import PointTransformerSeg, unet_geometry
@@ -37,7 +38,12 @@ def _freeze_plan(plan):
 class _DirectionCore(nn.Module):
     """Per-chunk direction decoder body (separate module so nn.remat can drop
     its (chunk, heads, 60, 60) attention logits from the backward residuals —
-    the dominant training-memory term at full scale)."""
+    the dominant training-memory term at full scale).
+
+    Returns the per-point ANCHOR WEIGHTS (chunk, A); the weighted chordal
+    mean runs ONCE over the full point batch outside the chunk scan — inside
+    the scan its batched 4x4 matrix chains (project_to_so3) ran as 20
+    separate tiny-batch programs per forward."""
 
     embed_dim: int
     value_dim: int
@@ -46,9 +52,7 @@ class _DirectionCore(nn.Module):
     dtype: Any = None   # bf16 compute for the attention/MLP stack
 
     @nn.compact
-    def __call__(self, tokens: Array) -> Array:  # (chunk, A, C) -> (chunk, 3)
-        A = tokens.shape[-2]
-        anchors = jnp.asarray(get_anchors(A))            # (A, 3, 3)
+    def __call__(self, tokens: Array) -> Array:  # (chunk, A, C) -> (chunk, A)
         h = StackedMHSA(
             embedding_dim=self.embed_dim,
             value_dim=self.value_dim,
@@ -61,9 +65,7 @@ class _DirectionCore(nn.Module):
                      name="direction_predictor")(h)
         # anchor weights and the chordal mean stay f32: the rotation mean
         # is sensitive to the weight distribution
-        w = nn.Dense(1, name="so3_reg")(h.astype(jnp.float32))[..., 0]
-        R = so3_mean(jnp.broadcast_to(anchors, w.shape + (3, 3)), w)
-        return R[..., :, 2]  # R @ [0,0,1] == third column
+        return nn.Dense(1, name="so3_reg")(h.astype(jnp.float32))[..., 0]
 
 
 class _DirectionScanBody(nn.Module):
@@ -109,6 +111,13 @@ class DirectionHead(nn.Module):
         # equiv_feat: (B, N, A, C)
         B, N, A, C = equiv_feat.shape
         x = equiv_feat.reshape(B * N, A, C)
+        # cast the tokens to the head's compute dtype BEFORE the chunk scan:
+        # the scan carries the full (n_chunks, chunk, A, C) stack through HBM
+        # (~630 MB f32 at production shape) and the body's first op is a
+        # bf16 Dense that would cast per chunk anyway; the f32-sensitive tail
+        # (so3_reg + chordal mean) upcasts inside the body.
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         # chunk over points to bound the (chunk, H, A, A) attention logits;
         # chunks share the module's params (nn.scan with broadcast params
@@ -132,9 +141,15 @@ class DirectionHead(nn.Module):
             dtype=self.dtype,
             name="core",
         )
-        _, outs = scan(0, xp)                    # (n_chunks, chunk, 3)
-        out = outs.reshape(-1, 3)[:M]
-        return out.reshape(B, N, 3)
+        _, w_chunks = scan(0, xp)                # (n_chunks, chunk, A)
+        w = w_chunks.reshape(-1, A)[:M]          # (M, A) f32 anchor weights
+        # weighted chordal mean over ALL points at once: C = w @ anchors as
+        # ONE (M, A)@(A, 9) MXU matmul, then a single batched SO(3)
+        # projection — vs 20 per-chunk tiny-batch 4x4 programs in the scan
+        anchors = jnp.asarray(get_anchors(A), jnp.float32)   # (A, 3, 3)
+        C = (w @ anchors.reshape(A, 9)).reshape(M, 3, 3)
+        R = project_to_so3(C)
+        return R[..., :, 2].reshape(B, N, 3)     # R @ [0,0,1] == third column
 
 
 class EtchNet(nn.Module):

@@ -60,8 +60,12 @@ class MultiHeadAttention(nn.Module):
         if use_packed:
             if (
                 jax.default_backend() == "tpu"
+                and self.dtype == jnp.bfloat16
                 and os.environ.get("ETCH_ATTENTION_PALLAS", "1") == "1"
             ):
+                # bf16 compute only: the kernel casts q/k/v to bf16, which
+                # would silently break the strict-f32 training policy (the
+                # packed XLA path below really is f32 when dtype is None)
                 # Fully-fused VMEM-resident attention (pallas_attention.py):
                 # the per-point (H, L, L) probabilities never touch HBM.
                 # The phase-structured kernel (tile-wide K2/V2 build, then

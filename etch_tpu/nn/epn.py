@@ -201,6 +201,18 @@ class InterSO3Conv(nn.Module):
             and A % 12 == 0
             and os.environ.get("ETCH_INTERCONV_PALLAS", "1") == "1"
         )
+        # 1-pass bf16 kernel-weight matmul (ETCH_FAST_W=1, bf16 streaming
+        # only).  OFF by default: despite the w matmul being the measured
+        # kernel floor (~3.1 of 6.3 ms per chunk-op), the bf16 dot DOUBLES
+        # the end-to-end kernel time (75 -> 152 ms per forward, xprof) —
+        # the fourth Mosaic-schedule collapse from touching this matmul
+        # (DESIGN.md round-4).  Kept as an env-gated experiment; quality
+        # impact if enabled is quantified in docs/evidence/fastw_ab.json.
+        fast_w = (
+            use_pallas
+            and self.compute_dtype == jnp.bfloat16
+            and os.environ.get("ETCH_FAST_W", "0") == "1"
+        )
 
         def do_chunk(args):
             idx, ctr = args  # (B, chunk, nn), (B, chunk, 3)
@@ -209,7 +221,8 @@ class InterSO3Conv(nn.Module):
             # fused Pallas contraction on TPU (see pallas_interconv.py):
             # weights are computed in-VMEM and never hit HBM; XLA einsum
             # fallback elsewhere and for the backward pass.
-            t = interconv_t(gx, gf2, rk_arr, float(self.sigma), A, use_pallas)
+            t = interconv_t(gx, gf2, rk_arr, float(self.sigma), A,
+                            use_pallas, fast_w)
             # project through the kernel-channel matmul on the MXU.
             # Contract (K, C) directly on the 5D tensor: reshaping to
             # (..., K*C) first makes XLA physically relayout the kernel's

@@ -17,9 +17,11 @@ kernel looped VPU mask-builds between dots and lost to the XLA path):
   phase 1 (per-point MXU, back-to-back):
       z[t*L+q, h*L+k] = sum_e q[t, q, e] K2[t, h*L+k, e]
   phase 2 (tile-wide softmax over k within each h block):
-      row max over ALL H*L lanes (a valid shift for every block; exp in f32
-      so a too-large shift cannot underflow), per-(q, h) denominators and
-      their broadcast back to h*L lanes via block-ones matmuls.
+      PER-BLOCK max via H static lane slices (a global row max underflows
+      whole blocks when heads' logit ranges are hundreds of nats apart —
+      denominator 0 -> NaN on trained weights), broadcast back to h*L
+      lanes with a one-hot matmul; per-(q, h) denominators and their
+      broadcast likewise.
   phase 3 (per-point MXU, back-to-back):
       out[t, q, e] = sum attn[t*L+q, h*L+k] V2[t, h*L+k, e]
 
@@ -55,8 +57,8 @@ def attention_ref(q, k, v, num_heads: int):
     return out.transpose(0, 2, 1, 3).reshape(Bc, L, E)
 
 
-def _kernel(T, L, E, H, q_ref, k_ref, v_ref, mr_ref, go_ref, gt_ref, o_ref,
-            k2_s, v2_s, z_s, a_s):
+def _kernel(T, L, E, H, q_ref, k_ref, v_ref, mr_ref, go_ref, gt_ref,
+            mrow_ref, o_ref, k2_s, v2_s, z_s, a_s):
     HL = H * L
     # phase 0: head-expanded K/V for the whole tile (one VPU pass each)
     mask = mr_ref[:, :]                                   # (HL, E) bf16
@@ -72,10 +74,27 @@ def _kernel(T, L, E, H, q_ref, k_ref, v_ref, mr_ref, go_ref, gt_ref, o_ref,
             precision=jax.lax.Precision.DEFAULT,
         )                                                 # (L, HL)
 
-    # phase 2: tile-wide softmax over each h block of L lanes
+    # phase 2: tile-wide softmax over each h block of L lanes.
+    # The shift must be the PER-BLOCK max, not the global row max: with
+    # trained weights one head's logits can sit hundreds of nats below
+    # another head's, and a globally-shifted exp underflows the whole
+    # block to 0 -> denominator 0 -> 0 * inf = NaN (hit on the real-scan
+    # checkpoint; random-weight benches never trip it).  Block maxes via
+    # H static lane slices, broadcast back with the one-hot matmul —
+    # denominators are >= 1 by construction.
     z = z_s[:]                                            # (T*L, HL) f32
-    m = jnp.max(z, axis=1, keepdims=True)
-    ez = jnp.exp(z - m)
+    # block max h = full-width max of z + mrow[h] (0 on block h, -1e30
+    # elsewhere): aligned tile-wide ops only — the unaligned 60-lane slice
+    # variant measured 4x slower (14.1 vs 3.3 ms per chunk-layer)
+    mb = jnp.concatenate(
+        [jnp.max(z + mrow_ref[h:h + 1, :], axis=1, keepdims=True)
+         for h in range(H)], axis=1)                      # (T*L, H)
+    mbb = jax.lax.dot_general(
+        mb, gt_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # (T*L, HL)
+    ez = jnp.exp(z - mbb)
     denom = jax.lax.dot_general(
         ez, go_ref[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -118,6 +137,9 @@ def attention_pallas(q, k, v, num_heads: int, tile: int = 16,
     g_ones = np.zeros((H * L, H), np.float32)
     for h in range(H):
         g_ones[h * L:(h + 1) * L, h] = 1.0
+    mrow = np.full((H, H * L), -1e30, np.float32)
+    for h in range(H):
+        mrow[h, h * L:(h + 1) * L] = 0.0
 
     qkv_spec = pl.BlockSpec((T, L, E), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -129,6 +151,8 @@ def attention_pallas(q, k, v, num_heads: int, tile: int = 16,
                   pl.BlockSpec((H * L, E), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((H * L, H), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((H, H * L), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((H, H * L), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
@@ -143,7 +167,7 @@ def attention_pallas(q, k, v, num_heads: int, tile: int = 16,
         interpret=interpret,
     )(q.astype(cdt), k.astype(cdt), v.astype(cdt),
       jnp.asarray(mask_rows, cdt), jnp.asarray(g_ones),
-      jnp.asarray(g_ones.T.copy()))
+      jnp.asarray(g_ones.T.copy()), jnp.asarray(mrow))
     return out[:Bc]
 
 

@@ -19,6 +19,8 @@ The kernel keeps everything in VMEM per tile of T centers:
       w = relu( (2/sigma) x.rk  +  (1 - |rk|^2/sigma)  -  |x|^2/sigma )
     The x.rk term is an f32 (T*nn, 3)@(3, A*K) dot (HIGHEST precision: the
     relu edge needs ~1e-4 absolute accuracy in d2/sigma, beyond bf16).
+    fast_w (bf16-streaming inference only) runs it as ONE bf16 DEFAULT
+    pass instead of six — see _w_matmul.
   * the per-(center, anchor) contraction packs G anchors per MXU call:
     (nn, G*K)^T @ (nn, G*C) -> (G*K, G*C), of which the G diagonal (K, C)
     blocks are extracted into the (T, A, K, C) output tile.  The off-diagonal
@@ -84,20 +86,47 @@ def interconv_t_xla(gx, gf2, rk, sigma, A):
     )                                                        # (B,c,A,K,C)
 
 
-def _kernel(T, G, nn, A, K, C, gx_ref, gf_ref, rks_ref, al_ref, o_ref):
-    x = gx_ref[0]                                            # (T*nn, 3)
-    bx = -(x[:, 0:1] ** 2 + x[:, 1:2] ** 2 + x[:, 2:3] ** 2)
-    m = jax.lax.dot_general(
+def _w_matmul(x, rks_ref, fast_w):
+    """m = x @ rks: (T*nn, 3) @ (3, A*K) -> f32 (T*nn, A*K).
+
+    Training / exact path: f32 operands at HIGHEST (6 MXU passes) — the
+    relu edge needs ~1e-4 absolute accuracy in d2/sigma, beyond bf16.
+    fast_w (bf16-streaming inference): ONE bf16 pass at DEFAULT — the
+    measured kernel floor is this matmul's 6-pass latency (~3.1 of 6.3 ms
+    per C=32 chunk, DESIGN.md round-4), and inference quality is gated on
+    marker/V2V metrics, not the equivariance tolerance.  The wrapper
+    pre-casts rks to bf16; x is cast per-tile (VPU, (T*nn, 3) is tiny).
+    """
+    if fast_w:
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), rks_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(
         x, rks_ref[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )                                                        # (T*nn, A*K)
+    )
+
+
+def _kernel(T, G, nn, A, K, C, fast_w, gx_ref, gf_ref, rks_ref, al_ref,
+            o_ref):
+    x = gx_ref[0]                                            # (T*nn, 3)
+    bx = -(x[:, 0:1] ** 2 + x[:, 1:2] ** 2 + x[:, 2:3] ** 2)
+    m = _w_matmul(x, rks_ref, fast_w)                        # (T*nn, A*K)
     # rks/al/bx are pre-scaled by 1/sigma (see wrapper)
     w = jnp.maximum(m + bx * al_ref[1:2, :1] + al_ref[0:1, :], 0.0)
     # contraction dtype follows the streamed feature dtype (bf16 only when
-    # the caller streams bf16; f32 features keep a full-precision dot)
+    # the caller streams bf16); f32 features keep a genuinely full-precision
+    # dot — DEFAULT on f32 operands would silently run single-pass bf16 on
+    # the MXU, breaking the strict-f32 training policy the wrapper promises
     w = w.astype(gf_ref.dtype)
+    contract_prec = (jax.lax.Precision.DEFAULT
+                     if gf_ref.dtype == jnp.bfloat16
+                     else jax.lax.Precision.HIGHEST)
     gf = gf_ref[0]                                           # (T*nn, A*C)
     NG = A // G
     for t in range(T):
@@ -108,7 +137,7 @@ def _kernel(T, G, nn, A, K, C, gx_ref, gf_ref, rks_ref, al_ref, o_ref):
                 wblk, fblk,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
+                precision=contract_prec,
             )                                                # (G*K, G*C)
             for j in range(G):
                 o_ref[0, t, g * G + j] = (
@@ -117,34 +146,25 @@ def _kernel(T, G, nn, A, K, C, gx_ref, gf_ref, rks_ref, al_ref, o_ref):
                 )
 
 
-def _kernel_ones(T, nn, A, K, gx_ref, rks_ref, al_ref, o_ref):
+def _kernel_ones(T, nn, A, K, fast_w, gx_ref, rks_ref, al_ref, o_ref):
     """All-ones occupancy features: t = sum_n w — no feature input at all."""
     x = gx_ref[0]
     bx = -(x[:, 0:1] ** 2 + x[:, 1:2] ** 2 + x[:, 2:3] ** 2)
-    m = jax.lax.dot_general(
-        x, rks_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    m = _w_matmul(x, rks_ref, fast_w)
     w = jnp.maximum(m + bx * al_ref[1:2, :1] + al_ref[0:1, :], 0.0)
     for t in range(T):
         o_ref[0, t] = jnp.sum(w[t * nn:(t + 1) * nn, :], axis=0,
                               keepdims=True)[0].astype(o_ref.dtype)
 
 
-def _kernel_c1(T, nn, A, K, gx_ref, gf_ref, rks_ref, al_ref, e_ref, o_ref):
+def _kernel_c1(T, nn, A, K, fast_w, gx_ref, gf_ref, rks_ref, al_ref, e_ref,
+               o_ref):
     """C == 1 case (occupancy input features): the contraction degenerates to
     a weighted column-sum of w.  The (a -> a*K+k) lane expansion of gf is a
     one-hot matmul (pltpu.repeat tiles rather than element-repeats)."""
     x = gx_ref[0]
     bx = -(x[:, 0:1] ** 2 + x[:, 1:2] ** 2 + x[:, 2:3] ** 2)
-    m = jax.lax.dot_general(
-        x, rks_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    m = _w_matmul(x, rks_ref, fast_w)
     w = jnp.maximum(m + bx * al_ref[1:2, :1] + al_ref[0:1, :], 0.0)
     gf = gf_ref[0]                                           # (T*nn, A)
     gf_exp = jax.lax.dot_general(
@@ -160,11 +180,12 @@ def _kernel_c1(T, nn, A, K, gx_ref, gf_ref, rks_ref, al_ref, e_ref, o_ref):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sigma", "A", "out_dtype", "interpret", "tile", "group"),
+    static_argnames=("sigma", "A", "out_dtype", "interpret", "tile", "group",
+                     "fast_w"),
 )
 def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
                        interpret: bool = False, tile: int | None = None,
-                       group: int | None = None):
+                       group: int | None = None, fast_w: bool = False):
     """Pallas path.  Same contract as interconv_t_xla (t may be bf16)."""
     B, c, nn, _ = gx.shape
     C = 1 if gf2 is None else gf2.shape[3] // A
@@ -185,6 +206,8 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
 
     inv_sigma = 1.0 / float(sigma)
     rks = rk.T.astype(jnp.float32) * (2.0 * inv_sigma)       # (3, A*K)
+    if fast_w:
+        rks = rks.astype(jnp.bfloat16)
     # al row 0: per-(a,k) constant 1 - |rk|^2/sigma; row 1 lane 0: 1/sigma
     al0 = 1.0 - jnp.sum(rk * rk, axis=1)[None, :] * inv_sigma
     al = jnp.concatenate(
@@ -195,7 +218,7 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
     extra_in, extra_specs = [], []
     if gf2 is None:
         mids = [gx2]
-        kern = functools.partial(_kernel_ones, T, nn, A, K)
+        kern = functools.partial(_kernel_ones, T, nn, A, K, fast_w)
         out_shape = jax.ShapeDtypeStruct((B, cp, AK), out_dtype)
         out_spec = pl.BlockSpec((1, T, AK), lambda b, i: (b, i, 0),
                                 memory_space=pltpu.VMEM)
@@ -203,7 +226,7 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
     elif C == 1:
         gfk = gf2.reshape(B, cp * nn, A).astype(jnp.float32)
         mids = [gx2, gfk]
-        kern = functools.partial(_kernel_c1, T, nn, A, K)
+        kern = functools.partial(_kernel_c1, T, nn, A, K, fast_w)
         out_shape = jax.ShapeDtypeStruct((B, cp, AK), out_dtype)
         out_spec = pl.BlockSpec((1, T, AK), lambda b, i: (b, i, 0),
                                 memory_space=pltpu.VMEM)
@@ -218,7 +241,7 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
             raise ValueError(f"A={A} not divisible by anchor group {G}")
         gfk = gf2.reshape(B, cp * nn, A * C)
         mids = [gx2, gfk]
-        kern = functools.partial(_kernel, T, G, nn, A, K, C)
+        kern = functools.partial(_kernel, T, G, nn, A, K, C, fast_w)
         out_shape = jax.ShapeDtypeStruct((B, cp, A, K, C), out_dtype)
         out_spec = pl.BlockSpec((1, T, A, K, C), lambda b, i: (b, i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -246,7 +269,7 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
     return t[:, :c]
 
 
-def _interconv_primal(gx, gf2, rk, sigma, A, use_pallas):
+def _interconv_primal(gx, gf2, rk, sigma, A, use_pallas, fast_w):
     if use_pallas:
         # output dtype follows the streamed feature dtype: bf16 features ->
         # bf16 t (halves the write bandwidth of the largest intermediate),
@@ -254,13 +277,13 @@ def _interconv_primal(gx, gf2, rk, sigma, A, use_pallas):
         bf16_in = gf2 is not None and gf2.dtype == jnp.bfloat16
         od = jnp.bfloat16 if bf16_in else jnp.float32
         return interconv_t_pallas(
-            gx, gf2, rk, sigma, A, out_dtype=od
+            gx, gf2, rk, sigma, A, out_dtype=od, fast_w=fast_w
         ).astype(jnp.float32)
     return interconv_t_xla(gx, gf2, rk, sigma, A)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def interconv_t(gx, gf2, rk, sigma, A, use_pallas):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def interconv_t(gx, gf2, rk, sigma, A, use_pallas, fast_w=False):
     """Differentiable inter-conv contraction core: (gx, gf2) -> t (B,c,A,K,C).
 
     gf2 carries anchor-flattened (A*C,) feature rows — the caller gathers
@@ -272,14 +295,15 @@ def interconv_t(gx, gf2, rk, sigma, A, use_pallas):
     NOTE: jax.custom_vjp runs *this* body when no derivative is requested and
     the fwd rule under differentiation — both must dispatch identically.
     """
-    return _interconv_primal(gx, gf2, rk, sigma, A, use_pallas)
+    return _interconv_primal(gx, gf2, rk, sigma, A, use_pallas, fast_w)
 
 
-def _interconv_t_fwd(gx, gf2, rk, sigma, A, use_pallas):
-    return _interconv_primal(gx, gf2, rk, sigma, A, use_pallas), (gx, gf2, rk)
+def _interconv_t_fwd(gx, gf2, rk, sigma, A, use_pallas, fast_w=False):
+    return (_interconv_primal(gx, gf2, rk, sigma, A, use_pallas, fast_w),
+            (gx, gf2, rk))
 
 
-def _interconv_t_bwd(sigma, A, use_pallas, res, g):
+def _interconv_t_bwd(sigma, A, use_pallas, fast_w, res, g):
     gx, gf2, rk = res
     if gf2 is None:
         _, vjp = jax.vjp(

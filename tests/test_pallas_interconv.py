@@ -102,3 +102,27 @@ def test_interconv_ones_grads():
     g2 = jax.grad(loss_ref)(gx)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("C", [1, 8])
+def test_interconv_fast_w_close(C):
+    """fast_w (1-pass bf16 kernel-weight matmul, bf16-inference only) stays
+    within bf16-rounding distance of the exact path: w errs by at most a few
+    ulp near the relu support edge, which perturbs t by O(1e-2) relative."""
+    gx, gf, rk = _data(5, C=C)
+    ref = np.asarray(interconv_t_xla(gx, gf, rk, SIGMA, A))
+    out = np.asarray(
+        interconv_t_pallas(gx, gf, rk, SIGMA, A, interpret=True, fast_w=True)
+    ).astype(np.float32)
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(out - ref).max() / scale < 6e-2
+    assert np.mean(np.abs(out - ref)) / scale < 6e-3
+    # occupancy variant (gf2=None) under fast_w
+    ref1 = np.asarray(interconv_t_xla(gx, None, rk, SIGMA, A))
+    out1 = np.asarray(
+        interconv_t_pallas(gx, None, rk, SIGMA, A, interpret=True,
+                           fast_w=True)
+    ).astype(np.float32)
+    scale1 = np.abs(ref1).max() + 1e-9
+    assert np.abs(out1 - ref1).max() / scale1 < 6e-2
