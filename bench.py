@@ -69,6 +69,7 @@ def main():
     cfg = EtchConfig(
         num_point=NUM_POINT, batch_size=BATCH,
         use_bfloat16=os.environ.get("ETCH_BENCH_BF16", "1") == "1",
+        dir_chunk=int(os.environ.get("ETCH_BENCH_DIR_CHUNK", "2048")),
     )
     # 86-marker superset ids spread over the synthetic body if no SMPL pkl
     markerset = {f"M{i}": int(v) for i, v in enumerate(

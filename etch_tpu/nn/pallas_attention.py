@@ -84,16 +84,16 @@ def _kernel(T, L, E, H, q_ref, k_ref, v_ref, mr_ref, go_ref, gt_ref,
     # denominators are >= 1 by construction.
     z = z_s[:]                                            # (T*L, HL) f32
     # block max h = full-width max of z + mrow[h] (0 on block h, -1e30
-    # elsewhere): aligned tile-wide ops only — the unaligned 60-lane slice
-    # variant measured 4x slower (14.1 vs 3.3 ms per chunk-layer)
-    mb = jnp.concatenate(
-        [jnp.max(z + mrow_ref[h:h + 1, :], axis=1, keepdims=True)
-         for h in range(H)], axis=1)                      # (T*L, H)
-    mbb = jax.lax.dot_general(
-        mb, gt_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                     # (T*L, HL)
+    # elsewhere): aligned tile-wide VPU ops only — the unaligned 60-lane
+    # slice variant measured 4x slower.  The per-lane broadcast of the
+    # block maxes is a max-combine over the same mask rows (off-block
+    # lanes sit at ~-1e30 and never win), avoiding a lane concat and a
+    # broadcast matmul.
+    mbb = None
+    for h in range(H):
+        row = mrow_ref[h:h + 1, :]                        # (1, HL)
+        mh = jnp.max(z + row, axis=1, keepdims=True) + row
+        mbb = mh if mbb is None else jnp.maximum(mbb, mh)
     ez = jnp.exp(z - mbb)
     denom = jax.lax.dot_general(
         ez, go_ref[:, :],
