@@ -160,33 +160,60 @@ class TestGoldenAgreement:
 
         scan, smpl = load_obj(scan_p), load_obj(smpl_p)
         ip, iv = generate_for_pair(smpl, scan, seed=0)
+        ip_emu, _ = generate_for_pair(smpl, scan, seed=0,
+                                      emulate_embree_f32=True)
         ref = np.load(npz_p)
-        return ip, iv, ref["info_points"], ref["info_vectors"]
+        return ip, iv, ref["info_points"], ref["info_vectors"], ip_emu
 
     def test_acceptance_count_band(self, golden):
-        ip, _, rip, _ = golden
-        # ours accepts more than the reference (its float32 1e-4 round-trip
-        # rejects ~half of forward-passers as numerical noise; ours is f64
-        # exact) but must stay within a sane band of the 30k samples
-        assert 15000 <= len(ip) <= 28000, len(ip)
+        ip, _, rip, _, _ = golden
+        # ours accepts ~2x the reference: the reference toolchain's un-nudged
+        # self-intersection cast self-hits its own source triangle under
+        # embree f32 for ~half the samples (demonstrated:
+        # test_embree_f32_emulation_reproduces_reference_count); our exact
+        # accept set is the superset without that coin-flip thinning
+        assert 23000 <= len(ip) <= 25500, len(ip)
         assert len(rip) == 11876  # the shipped artifact
 
+    def test_embree_f32_emulation_reproduces_reference_count(self, golden):
+        """VERDICT r4 #4: demonstrate the 2x accept-count discrepancy.
+
+        The suggested theory (f32 noise tripping the 1e-4 round-trip test)
+        is REFUTED: an f32 Möller–Trumbore retrace of both casts yields
+        round-trip errors ~1e-8.  The demonstrated mechanism is the
+        reference's UN-NUDGED self-intersection cast (reference :149-158):
+        under embree f32 the ray self-hits its own source triangle at t≈0
+        for ~49.9% of samples (the f32-rounded origin lands above/below the
+        source-face plane at random), and those are rejected as body
+        self-intersections.  Emulating exactly that reproduces the shipped
+        count: 12,122 vs 11,876 (within 2.1%).
+        """
+        _, _, rip, _, ip_emu = golden
+        assert abs(len(ip_emu) - len(rip)) / len(rip) < 0.08, (
+            len(ip_emu), len(rip))
+
     def test_ours_covers_reference_accepts(self, golden):
-        ip, _, rip, _ = golden
+        ip, _, rip, _, _ = golden
         d, _ = cKDTree(ip).query(rip, k=1)
         cov = float((d < 0.01).mean())
         assert cov >= 0.95, f"ref->ours 1cm coverage {cov:.3f}"
 
     def test_reference_covers_our_accepts(self, golden):
-        ip, _, rip, _ = golden
+        ip, _, rip, _, ip_emu = golden
         d, _ = cKDTree(rip).query(ip, k=1)
         cov = float((d < 0.01).mean())
-        # the reference accept set is half the density; 1cm coverage of our
-        # set bounds how much area we accept that the reference excluded
+        # The reference set is a ~random half-thinning of ours (the embree
+        # f32 self-hit coin flip, see the emulation test), so coverage of our
+        # set cannot reach 1: even OUR OWN emulated half-set covers the
+        # shipped reference at only 0.825 (measured) — 0.80 is at the
+        # random-thinning ceiling, not a loose gate.
         assert cov >= 0.80, f"ours->ref 1cm coverage {cov:.3f}"
+        d2, _ = cKDTree(ip_emu).query(rip, k=1)
+        cov_emu = float((d2 < 0.01).mean())
+        assert cov_emu >= 0.78, f"ref->emulated 1cm coverage {cov_emu:.3f}"
 
     def test_matched_vectors_agree(self, golden):
-        ip, iv, rip, riv = golden
+        ip, iv, rip, riv, _ = golden
         d, j = cKDTree(ip).query(rip, k=1)
         m = d < 0.002
         assert m.sum() > 500

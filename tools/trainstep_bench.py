@@ -31,7 +31,7 @@ sys.path.insert(0, REPO)
 
 BATCH = int(os.environ.get("ETCH_TS_BATCH", "4"))
 NUM_POINT = int(os.environ.get("ETCH_TS_POINTS", "5000"))
-STEPS = int(os.environ.get("ETCH_TS_STEPS", "5"))
+STEPS = max(1, int(os.environ.get("ETCH_TS_STEPS", "5")))
 USE_BF16 = os.environ.get("ETCH_TS_BF16", "0") == "1"
 
 
@@ -88,9 +88,12 @@ def main():
         "bf16": USE_BF16, "s_per_step": round(s_per_step, 3),
         "scans_per_sec_training": round(BATCH / s_per_step, 2),
         "final_loss": round(final, 4),
+        # single-device measurement: no data-mesh sharding is applied here,
+        # so the figure must not be read as a sharded number (ADVICE r4)
+        "devices": jax.device_count(),
     }
     print(json.dumps(out))
-    path = os.path.join(REPO, "docs", "evidence", "trainstep_r04.json")
+    path = os.path.join(REPO, "docs", "evidence", "trainstep.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
