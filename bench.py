@@ -130,6 +130,35 @@ def main():
     float(dispatch_once())
     latency_ms = (time.perf_counter() - t0) * 1e3
 
+    # B=1 serving latency (VERDICT r4 next #6): a real batch-1 program —
+    # the number a single-request deployment pays, not the B=8 batch sync.
+    # Costs one extra compile; ETCH_BENCH_B1=0 skips it (field reads null).
+    b1_latency_ms = None
+    if os.environ.get("ETCH_BENCH_B1", "1") == "1" and BATCH != 1:
+        cfg1 = EtchConfig(
+            num_point=NUM_POINT, batch_size=1,
+            use_bfloat16=cfg.use_bfloat16, dir_chunk=cfg.dir_chunk,
+        )
+        pipe1 = build_pipeline(
+            cfg1, markerset, checkpoint_path=None, allow_synthetic_body=True
+        )
+        pts1 = pts[:1]
+
+        def dispatch_b1():
+            pred = pipe1.predict(pts1)
+            verts, params, markers, valid, joints = pipe1.fit(
+                pred["inner_points"], pred["part_labels"], pred["confidences"]
+            )
+            return checksum(verts, markers)
+
+        float(dispatch_b1())  # compile + warm
+        lat = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(dispatch_b1())
+            lat.append(time.perf_counter() - t0)
+        b1_latency_ms = min(lat) * 1e3
+
     # Guard against silent Pallas->XLA fallbacks (a Mosaic regression would
     # otherwise read as a quiet perf cliff): on TPU the dispatcher must have
     # taken the Pallas path for every hot op.
@@ -152,6 +181,8 @@ def main():
         "unit": "scans/sec (pipelined throughput, predict+fit, N=%d, batch=%d;"
                 " sync latency %.0f ms/batch)" % (NUM_POINT, BATCH, latency_ms),
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 4),
+        "b1_latency_ms": (round(b1_latency_ms, 1)
+                          if b1_latency_ms is not None else None),
     }))
 
 

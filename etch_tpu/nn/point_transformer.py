@@ -28,9 +28,18 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from etch_tpu.ops import fps, gather_points, group_points, knn, knn_interpolate
+import os
+
+from etch_tpu.nn.pallas_grouped_head import fused_grouped_head
+from etch_tpu.nn.pallas_vector_attention import (vector_attention_pallas,
+                                                 vector_attention_ref)
+from etch_tpu.ops import (fps, gather_points, group_points,
+                          group_points_transposed, knn, knn_interpolate)
 
 Array = jnp.ndarray
+
+_BN_EPS = 1e-5
+_BN_MOM = 0.9  # torch BatchNorm1d momentum 0.1 == flax momentum 0.9
 
 
 def unet_geometry(
@@ -49,7 +58,13 @@ def unet_geometry(
 
     Returns a list of per-level dicts:
       down: (fps_idx, group_idx) for stride>1 levels
+      down_pr: (B, M, ns, 3) grouped relative coords for the TransitionDown
       self: (B, M, ns) self-kNN indices
+      p_r:  (B, M, ns, 3) relative coords of the self-kNN neighborhood —
+            IDENTICAL for every attention block at a level (and for both
+            U-Net heads), so gathered once here instead of inside each of
+            the 36 vector-attention layers (and outside the training-remat
+            boundary, so the backward does not re-gather them either)
       up:   (idx, dist) 3-NN of this level's points among the coarser level's
     """
     levels = []
@@ -64,8 +79,11 @@ def unet_geometry(
             new_p = gather_points(cur_p, idx)
             nidx, _ = knn(new_p, cur_p, nsamples[lvl])
             ent["down"] = (idx, nidx)
+            ent["down_pr"] = group_points(cur_p, nidx) - new_p[:, :, None, :]
             cur_p = new_p
-        ent["self"], _ = knn(cur_p, cur_p, min(nsamples[lvl], cur_p.shape[1]))
+        sidx, _ = knn(cur_p, cur_p, min(nsamples[lvl], cur_p.shape[1]))
+        ent["self"] = sidx
+        ent["p_r"] = group_points(cur_p, sidx) - cur_p[:, :, None, :]
         ps.append(cur_p)
         levels.append(ent)
     for lvl in range(len(strides) - 1):
@@ -82,11 +100,13 @@ class PointTransformerLayer(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, p: Array, x: Array, train: bool, idx: Array = None) -> Array:
+    def __call__(self, p: Array, x: Array, train: bool, idx: Array = None,
+                 p_r: Array = None) -> Array:
         # p: (B, N, 3), x: (B, N, C); idx: optional precomputed (B, N, ns)
         # neighbor indices (the U-Net computes them once per level instead of
         # once per block — the reference re-queries in every layer,
-        # pointtransformer_seg.py:28-29)
+        # pointtransformer_seg.py:28-29); p_r: optional precomputed relative
+        # coords of that neighborhood (identical across blocks at a level)
         c = self.out_planes
         s = self.share_planes
         x_q = nn.Dense(c, name="linear_q", dtype=self.dtype)(x)
@@ -95,29 +115,98 @@ class PointTransformerLayer(nn.Module):
 
         if idx is None:
             idx, _ = knn(p, p, self.nsample)                # (B, N, ns)
-        p_r = group_points(p, idx) - p[:, :, None, :]       # (B, N, ns, 3)
-        g_k = group_points(x_k, idx)                        # (B, N, ns, c)
-        g_v = group_points(x_v, idx)
+        if p_r is None:
+            p_r = group_points(p, idx) - p[:, :, None, :]   # (B, N, ns, 3)
+        B, N, ns = idx.shape
+        R = B * N
+        use_pallas = (
+            not train
+            and jax.default_backend() == "tpu"
+            and self.dtype == jnp.bfloat16
+            and os.environ.get("ETCH_VECATT_PALLAS", "1") == "1"
+        )
+        if use_pallas:
+            # neighbor-major operands for the fused kernel: the gathers
+            # produce (ns, R, c) for free from transposed indices, and the
+            # posenc MLP runs on the transposed relative coords directly
+            g_k = group_points_transposed(x_k, idx)         # (ns, R, c)
+            g_v = group_points_transposed(x_v, idx)
+            pe_in = p_r.transpose(2, 0, 1, 3).reshape(ns, R, 3)
+        else:
+            g_k = group_points(x_k, idx)                    # (B, N, ns, c)
+            g_v = group_points(x_v, idx)
+            pe_in = p_r
 
         # positional encoding MLP: Linear(3,3) -> BN -> ReLU -> Linear(3,c)
-        pe = nn.Dense(3, name="linear_p0", dtype=self.dtype)(p_r)
+        pe = nn.Dense(3, name="linear_p0", dtype=self.dtype)(pe_in)
         pe = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="linear_p_bn", dtype=self.dtype)(pe)
         pe = nn.relu(pe)
-        pe = nn.Dense(c, name="linear_p1", dtype=self.dtype)(pe)              # (B, N, ns, c)
+        pe = nn.Dense(c, name="linear_p1", dtype=self.dtype)(pe)
 
-        w = g_k - x_q[:, :, None, :] + pe
-        w = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="linear_w_bn0", dtype=self.dtype)(w)
-        w = nn.relu(w)
-        w = nn.Dense(c // s, name="linear_w0", dtype=self.dtype)(w)
-        w = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="linear_w_bn1", dtype=self.dtype)(w)
-        w = nn.relu(w)
-        w = nn.Dense(c // s, name="linear_w1", dtype=self.dtype)(w)           # (B, N, ns, c/s)
-        w = nn.softmax(w, axis=2)
+        # w-chain parameters declared explicitly (flax-equivalent init and
+        # semantics) so the inference path can hand raw weights + folded BN
+        # affines to the fused Pallas kernel while training keeps batch-stat
+        # updates
+        cs = c // s
+        sc0 = self.param("w_bn0_scale", nn.initializers.ones, (c,))
+        sh0 = self.param("w_bn0_bias", nn.initializers.zeros, (c,))
+        sc1 = self.param("w_bn1_scale", nn.initializers.ones, (cs,))
+        sh1 = self.param("w_bn1_bias", nn.initializers.zeros, (cs,))
+        w0k = self.param("w0_kernel", nn.initializers.lecun_normal(), (c, cs))
+        w0b = self.param("w0_bias", nn.initializers.zeros, (cs,))
+        w1k = self.param("w1_kernel", nn.initializers.lecun_normal(), (cs, cs))
+        w1b = self.param("w1_bias", nn.initializers.zeros, (cs,))
+        m0 = self.variable("batch_stats", "w_bn0_mean",
+                           lambda: jnp.zeros((c,), jnp.float32))
+        v0 = self.variable("batch_stats", "w_bn0_var",
+                           lambda: jnp.ones((c,), jnp.float32))
+        m1 = self.variable("batch_stats", "w_bn1_mean",
+                           lambda: jnp.zeros((cs,), jnp.float32))
+        v1 = self.variable("batch_stats", "w_bn1_var",
+                           lambda: jnp.ones((cs,), jnp.float32))
 
-        B, N, ns, _ = w.shape
-        v = (g_v + pe).reshape(B, N, ns, s, c // s)
-        out = jnp.sum(v * w[:, :, :, None, :], axis=2)      # (B, N, s, c/s)
-        return out.reshape(B, N, c)
+        if train:
+            w = (g_k - x_q[:, :, None, :] + pe).astype(jnp.float32)
+            mu = jnp.mean(w, axis=(0, 1, 2))
+            var = jnp.var(w, axis=(0, 1, 2))
+            if not self.is_initializing():
+                m0.value = _BN_MOM * m0.value + (1 - _BN_MOM) * mu
+                v0.value = _BN_MOM * v0.value + (1 - _BN_MOM) * var
+            w = (w - mu) * (sc0 / jnp.sqrt(var + _BN_EPS)) + sh0
+            w = nn.relu(w)
+            w = (w.astype(w0k.dtype) @ w0k + w0b).astype(jnp.float32)
+            mu1 = jnp.mean(w, axis=(0, 1, 2))
+            var1 = jnp.var(w, axis=(0, 1, 2))
+            if not self.is_initializing():
+                m1.value = _BN_MOM * m1.value + (1 - _BN_MOM) * mu1
+                v1.value = _BN_MOM * v1.value + (1 - _BN_MOM) * var1
+            w = (w - mu1) * (sc1 / jnp.sqrt(var1 + _BN_EPS)) + sh1
+            w = nn.relu(w)
+            w = (w.astype(w1k.dtype) @ w1k + w1b).astype(jnp.float32)
+            w = nn.softmax(w, axis=2)                    # (B, N, ns, cs)
+            v = (g_v + pe).astype(jnp.float32).reshape(B, N, ns, s, cs)
+            out = jnp.sum(v * w[:, :, :, None, :], axis=2)  # (B, N, s, cs)
+            return out.reshape(B, N, c).astype(x.dtype)
+
+        # inference: fold running stats into affines (BN is an affine at
+        # eval; the Dense-0 bias folds into the BN-1 affine) and run the
+        # whole post-gather chain in one fused call — Pallas on TPU/bf16,
+        # the XLA reference elsewhere
+        s0e = sc0 / jnp.sqrt(v0.value + _BN_EPS)
+        a0 = jnp.stack([s0e, sh0 - m0.value * s0e])      # (2, c)
+        s1e = sc1 / jnp.sqrt(v1.value + _BN_EPS)
+        a1 = jnp.stack([s1e, (w0b - m1.value) * s1e + sh1])  # (2, cs)
+        if use_pallas:
+            out = vector_attention_pallas(
+                x_q.reshape(R, c), g_k, g_v, pe, a0, w0k, a1, w1k, w1b[None]
+            )
+        else:
+            out = vector_attention_ref(
+                x_q.reshape(R, c), g_k.reshape(R, ns, c),
+                g_v.reshape(R, ns, c), pe.reshape(R, ns, c),
+                a0, w0k, a1, w1k, w1b[None],
+            )
+        return out.reshape(B, N, c).astype(x.dtype)
 
 
 class TransitionDown(nn.Module):
@@ -129,7 +218,8 @@ class TransitionDown(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, p: Array, x: Array, train: bool, down=None):
+    def __call__(self, p: Array, x: Array, train: bool, down=None,
+                 down_pr=None):
         if self.stride == 1:
             x = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
@@ -144,7 +234,9 @@ class TransitionDown(nn.Module):
             idx, nidx = down
             new_p = gather_points(p, idx)
         g_x = group_points(x, nidx)                         # (B, M, ns, C)
-        g_p = group_points(p, nidx) - new_p[:, :, None, :]  # (B, M, ns, 3)
+        if down_pr is None:
+            down_pr = group_points(p, nidx) - new_p[:, :, None, :]
+        g_p = down_pr                                       # (B, M, ns, 3)
         h = jnp.concatenate([g_p, g_x], axis=-1)
         h = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
@@ -188,7 +280,8 @@ class PointTransformerBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, p: Array, x: Array, train: bool, idx: Array = None) -> Array:
+    def __call__(self, p: Array, x: Array, train: bool, idx: Array = None,
+                 p_r: Array = None) -> Array:
         identity = x
         h = nn.Dense(self.planes, use_bias=False, name="linear1", dtype=self.dtype)(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(h)
@@ -199,7 +292,7 @@ class PointTransformerBlock(nn.Module):
             nsample=self.nsample,
             dtype=self.dtype,
             name="transformer2",
-        )(p, h, train, idx=idx)
+        )(p, h, train, idx=idx, p_r=p_r)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(h)
         h = nn.relu(h)
         h = nn.Dense(self.planes, use_bias=False, name="linear3", dtype=self.dtype)(h)
@@ -219,14 +312,14 @@ class _BlockScanBody(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, p, train, idx):
+    def __call__(self, x, p, train, idx, p_r):
         x = PointTransformerBlock(
             planes=self.planes,
             share_planes=self.share_planes,
             nsample=self.nsample,
             dtype=self.dtype,
             name="block",
-        )(p, x, train, idx=idx)
+        )(p, x, train, idx=idx, p_r=p_r)
         return x, ()
 
 
@@ -239,7 +332,7 @@ def _repeated_blocks(n, planes, share_planes, nsample, dtype, name):
         length=n,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True},
-        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
         out_axes=0,
     )(
         planes=planes,
@@ -282,9 +375,10 @@ class PointTransformerUNet(nn.Module):
                 nsample=self.nsamples[lvl],
                 dtype=self.dtype,
                 name=f"enc{lvl+1}_down",
-            )(p, x, train, down=geom[lvl].get("down"))
+            )(p, x, train, down=geom[lvl].get("down"),
+              down_pr=geom[lvl].get("down_pr"))
             idx = geom[lvl]["self"]
-            level_idx.append(idx)
+            level_idx.append((idx, geom[lvl].get("p_r")))
             n_rep = self.blocks[lvl] - 1
             if n_rep > 0:
                 x, _ = _repeated_blocks(
@@ -294,7 +388,7 @@ class PointTransformerUNet(nn.Module):
                     nsample=self.nsamples[lvl],
                     dtype=self.dtype,
                     name=f"enc{lvl+1}_blocks",
-                )(x, p, train, idx)
+                )(x, p, train, idx, geom[lvl].get("p_r"))
             skips.append((p, x))
 
         # decoder head at the coarsest level
@@ -308,7 +402,7 @@ class PointTransformerUNet(nn.Module):
             nsample=self.nsamples[4],
             dtype=self.dtype,
             name="dec5_block1",
-        )(p5, x, train, idx=level_idx[4])
+        )(p5, x, train, level_idx[4][0], level_idx[4][1])
 
         for lvl in range(3, -1, -1):
             p_f, x_f = skips[lvl]
@@ -322,7 +416,7 @@ class PointTransformerUNet(nn.Module):
                 nsample=self.nsamples[lvl],
                 dtype=self.dtype,
                 name=f"dec{lvl+1}_block1",
-            )(p_f, x, train, idx=level_idx[lvl])
+            )(p_f, x, train, level_idx[lvl][0], level_idx[lvl][1])
         return x
 
 
@@ -367,15 +461,25 @@ class PointTransformerSeg(nn.Module):
 
         # per-part confidence branch: Conv1d(c0, c0*k) -> ReLU -> grouped
         # Conv1d(c0*k, k, groups=k) (reference :145).  The grouped conv is a
-        # per-class (c0 -> 1) projection, expressed as an einsum.
-        z = nn.Dense(c0 * k, name="confi0", dtype=self.dtype)(h)
-        z = nn.relu(z)
-        z = z.reshape(B, N, k, c0)
+        # per-class (c0 -> 1) projection.  At inference on TPU the whole
+        # branch runs as a fused Pallas kernel so the (B, N, k*c0)
+        # intermediate (880 MB at production shape) never touches HBM.
+        w0k = self.param("confi0_kernel", nn.initializers.lecun_normal(),
+                         (c0, c0 * k))
+        w0b = self.param("confi0_bias", nn.initializers.zeros, (c0 * k,))
         Wg = self.param(
-            "confi1_w", nn.initializers.xavier_uniform(), (k, c0), z.dtype
+            "confi1_w", nn.initializers.xavier_uniform(), (k, c0)
         )
-        bg = self.param("confi1_b", nn.initializers.zeros, (k,), z.dtype)
-        per_part = jnp.einsum("bnkc,kc->bnk", z, Wg) + bg   # (B, N, k)
+        bg = self.param("confi1_b", nn.initializers.zeros, (k,))
+        use_pallas = (
+            not train
+            and jax.default_backend() == "tpu"
+            and self.dtype == jnp.bfloat16
+            and os.environ.get("ETCH_VECATT_PALLAS", "1") == "1"
+        )
+        per_part = fused_grouped_head(
+            h.reshape(B * N, c0), w0k, w0b, Wg, bg, use_pallas
+        ).reshape(B, N, k)                                  # (B, N, k)
 
         parts_softmax = nn.softmax(logits, axis=-1)
         confidence = jnp.sum(per_part * parts_softmax, axis=-1, keepdims=True)

@@ -150,3 +150,18 @@ def group_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     B, M, K = idx.shape
     flat = gather_points(feats, idx.reshape(B, M * K))
     return flat.reshape((B, M, K) + feats.shape[2:])
+
+
+def group_points_transposed(feats: jnp.ndarray, idx: jnp.ndarray):
+    """feats: (B, N, C), idx: (B, M, K) -> (K, B*M, C) neighbor-major.
+
+    Same flat 2D-operand row gather as group_points, but indexed with the
+    transposed index array so the output is born neighbor-major — the layout
+    the fused vector-attention kernel wants — at zero extra cost (a gather
+    does not care about row order).  Inference-only (no custom one-hot VJP;
+    the training path uses the point-major group_points)."""
+    B, N = feats.shape[:2]
+    _, M, K = idx.shape
+    flat = feats.reshape((B * N,) + feats.shape[2:])
+    gidx = (idx + (jnp.arange(B, dtype=idx.dtype) * N)[:, None, None])
+    return flat[gidx.reshape(B * M, K).T]

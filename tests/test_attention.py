@@ -1,6 +1,7 @@
 """Packed block-diagonal attention == plain per-head attention."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -96,3 +97,82 @@ def test_pallas_attention_extreme_head_gap_no_nan():
     # under test is that head 0's magnitude does not corrupt the others
     scale = np.abs(ref[..., 8:]).max()
     assert np.abs(out[..., 8:] - ref[..., 8:]).max() / scale < 2e-2
+
+
+class TestVectorAttentionPallas:
+    """Fused U-Net vector-attention kernel vs its XLA reference."""
+
+    def _inputs(self, R=40, ns=8, c=64, s=8, seed=0):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        cs = c // s
+        xq = rng.randn(R, c).astype(np.float32)
+        gk = rng.randn(R, ns, c).astype(np.float32)
+        gv = rng.randn(R, ns, c).astype(np.float32)
+        pe = rng.randn(R, ns, c).astype(np.float32)
+        a0 = np.stack([rng.rand(c) + 0.5, rng.randn(c)]).astype(np.float32)
+        w0 = (rng.randn(c, cs) / np.sqrt(c)).astype(np.float32)
+        a1 = np.stack([rng.rand(cs) + 0.5, rng.randn(cs)]).astype(np.float32)
+        w1 = (rng.randn(cs, cs) / np.sqrt(cs)).astype(np.float32)
+        b1 = rng.randn(1, cs).astype(np.float32)
+        return xq, gk, gv, pe, a0, w0, a1, w1, b1
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("ns,c", [(8, 64), (16, 128), (16, 256)])
+    def test_interpret_matches_reference(self, ns, c):
+        import jax.numpy as jnp
+
+        from etch_tpu.nn.pallas_vector_attention import (
+            vector_attention_pallas, vector_attention_ref)
+
+        args = self._inputs(R=40, ns=ns, c=c)
+        ref = vector_attention_ref(*[jnp.asarray(a) for a in args])
+        xq, gk, gv, pe, a0, w0, a1, w1, b1 = [jnp.asarray(a) for a in args]
+        tr = lambda t: t.transpose(1, 0, 2)
+        out = vector_attention_pallas(
+            xq, tr(gk), tr(gv), tr(pe), a0, w0, a1, w1, b1,
+            interpret=True)
+        # kernel computes in bf16 operands / f32 accum
+        err = jnp.abs(out - ref) / (jnp.abs(ref) + 1e-2)
+        assert float(jnp.median(err)) < 0.02, float(jnp.median(err))
+        assert float(jnp.mean(jnp.abs(out - ref))) < 0.05
+
+    def test_softmax_head_gap_stability(self):
+        """Large per-lane logit offsets must not produce NaN (round-4
+        per-block-softmax lesson applied to the ns-softmax)."""
+        import jax.numpy as jnp
+
+        from etch_tpu.nn.pallas_vector_attention import (
+            vector_attention_pallas, vector_attention_ref)
+
+        args = list(self._inputs(R=16, ns=8, c=64))
+        args[8] = args[8] + 300.0  # huge b1 bias -> exp overflow if unshifted
+        ref = vector_attention_ref(*[jnp.asarray(a) for a in args])
+        assert bool(jnp.isfinite(ref).all())
+        xq, gk, gv, pe, a0, w0, a1, w1, b1 = [jnp.asarray(a) for a in args]
+        tr = lambda t: t.transpose(1, 0, 2)
+        out = vector_attention_pallas(
+            xq, tr(gk), tr(gv), tr(pe), a0, w0, a1, w1, b1,
+            interpret=True)
+        assert bool(jnp.isfinite(out).all())
+
+
+class TestGroupedHeadPallas:
+    def test_interpret_matches_reference(self):
+        import jax.numpy as jnp
+
+        from etch_tpu.nn.pallas_grouped_head import (grouped_head_pallas,
+                                                     grouped_head_ref)
+
+        rng = np.random.RandomState(1)
+        R, c0, k = 70, 128, 86
+        h = jnp.asarray(rng.randn(R, c0), jnp.float32)
+        w0 = jnp.asarray(rng.randn(c0, c0 * k) / np.sqrt(c0), jnp.float32)
+        b0 = jnp.asarray(rng.randn(c0 * k) * 0.1, jnp.float32)
+        wg = jnp.asarray(rng.randn(k, c0) / np.sqrt(c0), jnp.float32)
+        bg = jnp.asarray(rng.randn(k) * 0.1, jnp.float32)
+        ref = grouped_head_ref(h, w0, b0, wg, bg)
+        out = grouped_head_pallas(h, w0, b0, wg, bg, interpret=True)
+        err = jnp.abs(out - ref) / (jnp.abs(ref) + 1e-2)
+        assert float(jnp.median(err)) < 0.02, float(jnp.median(err))
