@@ -17,10 +17,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import os
+
 from etch_tpu.geometry import get_anchors
 from etch_tpu.geometry.so3 import project_to_so3
-from etch_tpu.nn.attention import BatchMLP, StackedMHSA
 from etch_tpu.nn.epn import EPNBackbone
+from etch_tpu.nn.pallas_attention import fused_attention, packed_attention
+from etch_tpu.nn.pallas_dircore import (direction_core_pallas,
+                                        direction_core_ref)
 from etch_tpu.nn.point_transformer import PointTransformerSeg, unet_geometry
 from etch_tpu.ops import knn_interpolate
 from etch_tpu.utils.config import EtchConfig, backbone_plan
@@ -35,61 +39,6 @@ def _freeze_plan(plan):
     return tuple(tuple(ConvSpec(**c) for c in block) for block in plan)
 
 
-class _DirectionCore(nn.Module):
-    """Per-chunk direction decoder body (separate module so nn.remat can drop
-    its (chunk, heads, 60, 60) attention logits from the backward residuals —
-    the dominant training-memory term at full scale).
-
-    Returns the per-point ANCHOR WEIGHTS (chunk, A); the weighted chordal
-    mean runs ONCE over the full point batch outside the chunk scan — inside
-    the scan its batched 4x4 matrix chains (project_to_so3) ran as 20
-    separate tiny-batch programs per forward."""
-
-    embed_dim: int
-    value_dim: int
-    num_heads: int
-    num_layers: int
-    dtype: Any = None   # bf16 compute for the attention/MLP stack
-
-    @nn.compact
-    def __call__(self, tokens: Array) -> Array:  # (chunk, A, C) -> (chunk, A)
-        h = StackedMHSA(
-            embedding_dim=self.embed_dim,
-            value_dim=self.value_dim,
-            num_heads=self.num_heads,
-            num_layers=self.num_layers,
-            dtype=self.dtype,
-            name="direction_encoder",
-        )(tokens)
-        h = BatchMLP(out_features=self.value_dim, dtype=self.dtype,
-                     name="direction_predictor")(h)
-        # anchor weights and the chordal mean stay f32: the rotation mean
-        # is sensitive to the weight distribution
-        return nn.Dense(1, name="so3_reg")(h.astype(jnp.float32))[..., 0]
-
-
-class _DirectionScanBody(nn.Module):
-    """nn.scan body: (carry, chunk tokens) -> (carry, directions)."""
-
-    embed_dim: int
-    value_dim: int
-    num_heads: int
-    num_layers: int
-    dtype: Any = None
-
-    @nn.compact
-    def __call__(self, carry, tokens):
-        out = _DirectionCore(
-            embed_dim=self.embed_dim,
-            value_dim=self.value_dim,
-            num_heads=self.num_heads,
-            num_layers=self.num_layers,
-            dtype=self.dtype,
-            name="body",
-        )(tokens)
-        return carry, out
-
-
 class DirectionHead(nn.Module):
     """Anchor-attention direction decoder
     (reference models_pointcloud.py:52-54,111-126).
@@ -97,6 +46,13 @@ class DirectionHead(nn.Module):
     Per point: MHSA over the 60 anchor channels -> MLP -> scalar anchor
     weights -> weighted chordal mean of the anchor rotations -> rotate the
     canonical vector [0,0,1].
+
+    The core's parameters are declared explicitly so that inference on
+    TPU/bf16 runs the ENTIRE per-point core (QKV, both attention layers,
+    head_combine, BatchMLP, so3_reg) as one fused Pallas kernel
+    (nn/pallas_dircore.py) while training keeps the chunked, remat'd scan
+    over the same weights (its (chunk, H, A, A) attention logits dominate
+    backward memory at full scale).
     """
 
     embed_dim: int
@@ -107,42 +63,68 @@ class DirectionHead(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, equiv_feat: Array) -> Array:
+    def __call__(self, equiv_feat: Array, train: bool = False) -> Array:
         # equiv_feat: (B, N, A, C)
         B, N, A, C = equiv_feat.shape
+        E, V = self.embed_dim, self.value_dim
+        L = self.num_layers
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        params = {}
+        for l in range(L):
+            for nm in ("wq", "wk", "wv"):
+                params[f"{nm}{l}"] = self.param(f"{nm}{l}", lecun, (E, E))
+            out_d = V if l == L - 1 else E
+            params[f"wc{l}"] = self.param(f"wc{l}", lecun, (E, out_d))
+            params[f"bc{l}"] = self.param(f"bc{l}", zeros, (out_d,))
+        params["wm0"] = self.param("wm0", lecun, (V, V))
+        params["bm0"] = self.param("bm0", zeros, (V,))
+        params["wm1"] = self.param("wm1", lecun, (V, V))
+        params["bm1"] = self.param("bm1", zeros, (V,))
+        params["wr"] = self.param("wr", lecun, (V, 1))
+        params["br"] = self.param("br", zeros, (1,))
+
         x = equiv_feat.reshape(B * N, A, C)
-        # cast the tokens to the head's compute dtype BEFORE the chunk scan:
-        # the scan carries the full (n_chunks, chunk, A, C) stack through HBM
-        # (~630 MB f32 at production shape) and the body's first op is a
-        # bf16 Dense that would cast per chunk anyway; the f32-sensitive tail
-        # (so3_reg + chordal mean) upcasts inside the body.
+        # cast the tokens to the head's compute dtype up front: the scan
+        # carries the full (n_chunks, chunk, A, C) stack through HBM
+        # (~630 MB f32 at production shape); the f32-sensitive tail
+        # (so3_reg + chordal mean) upcasts internally.
         if self.dtype is not None:
             x = x.astype(self.dtype)
-
-        # chunk over points to bound the (chunk, H, A, A) attention logits;
-        # chunks share the module's params (nn.scan with broadcast params
-        # compiles the chunk body ONCE — the previous unrolled python loop
-        # emitted ~10 copies of the MHSA HLO into the program).
         M = B * N
-        chunk = min(self.chunk, M)
-        pad = (-M) % chunk
-        xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))).reshape(-1, chunk, A, C)
-        scan = nn.scan(
-            nn.remat(_DirectionScanBody),
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=0,
-            out_axes=0,
-        )(
-            embed_dim=self.embed_dim,
-            value_dim=self.value_dim,
-            num_heads=self.num_heads,
-            num_layers=self.num_layers,
-            dtype=self.dtype,
-            name="core",
+
+        use_kernel = (
+            not train
+            and self.num_layers == 2   # fused core specializes to 2 layers
+            and jax.default_backend() == "tpu"
+            and self.dtype == jnp.bfloat16
+            and os.environ.get("ETCH_DIRCORE_PALLAS", "1") == "1"
         )
-        _, w_chunks = scan(0, xp)                # (n_chunks, chunk, A)
-        w = w_chunks.reshape(-1, A)[:M]          # (M, A) f32 anchor weights
+        if use_kernel:
+            w = direction_core_pallas(x, params, self.num_heads)   # (M, A)
+        else:
+            # chunk over points to bound the (chunk, H, A, A) attention
+            # logits; jax.checkpoint drops them from backward residuals
+            use_pallas_attn = (
+                not train
+                and jax.default_backend() == "tpu"
+                and self.dtype == jnp.bfloat16
+                and os.environ.get("ETCH_ATTENTION_PALLAS", "1") == "1"
+            )
+            if use_pallas_attn:
+                attn = lambda q, k, v, H: fused_attention(q, k, v, H, True)
+            else:
+                attn = packed_attention
+            chunk = min(self.chunk, M)
+            pad = (-M) % chunk
+            xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0))).reshape(
+                -1, chunk, A, C)
+            body = jax.checkpoint(
+                lambda tok: direction_core_ref(
+                    tok, params, self.num_heads, attn=attn))
+            _, w_chunks = jax.lax.scan(
+                lambda carry, tok: (carry, body(tok)), 0, xp)
+            w = w_chunks.reshape(-1, A)[:M]      # (M, A) f32 anchor weights
         # weighted chordal mean over ALL points at once: C = w @ anchors as
         # ONE (M, A)@(A, 9) MXU matmul, then a single batched SO(3)
         # projection — vs 20 per-chunk tiny-batch 4x4 programs in the scan
@@ -231,7 +213,7 @@ class EtchNet(nn.Module):
             results["confidences"] = conf.astype(jnp.float32)
         if "direction" in pred_items:
             equiv = point_equiv.transpose(0, 1, 3, 2)    # (B, N, A, C)
-            results["direction"] = self.direction_head(equiv)
+            results["direction"] = self.direction_head(equiv, train=train)
         if "magnitude" in pred_items:
             results["magnitude"] = self.magnitude_head(
                 hitpts, point_inv, train=train, geom=geom

@@ -40,6 +40,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def packed_attention(q, k, v, num_heads: int):
+    """Packed block-diagonal attention (XLA path): all H heads ride one
+    E-deep logits dot and one HL-deep AV dot via a static 0/1 head mask —
+    MXU-shaped where the per-head hs=8 contraction is not.  Numerically
+    equal to attention_ref up to fp association; differentiable by plain
+    autodiff.  q pre-scaled by 1/sqrt(head_size)."""
+    Bc, L, E = q.shape
+    H = num_heads
+    hs = E // H
+    mask = np.zeros((E, H), np.float32)
+    for h in range(H):
+        mask[h * hs:(h + 1) * hs, h] = 1.0
+    cdt = q.dtype
+    maskc = jnp.asarray(mask, cdt)
+    k2 = jnp.einsum("bke,eh->bhke", k, maskc)
+    logits = jax.lax.dot_general(
+        q, k2,
+        dimension_numbers=(((2,), (3,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                       # (B, q, H, k)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
+    v2 = jnp.einsum("bke,eh->bhke", v, maskc)
+    return jax.lax.dot_general(
+        attn, v2,
+        dimension_numbers=(((2, 3), (1, 2)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)                                       # (B, q, E)
+
+
 def attention_ref(q, k, v, num_heads: int):
     """Plain per-head attention, (Bc, L, E) -> (Bc, L, E).  VJP body and
     numerical reference (q is expected pre-scaled by 1/sqrt(head_size))."""

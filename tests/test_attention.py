@@ -176,3 +176,55 @@ class TestGroupedHeadPallas:
         out = grouped_head_pallas(h, w0, b0, wg, bg, interpret=True)
         err = jnp.abs(out - ref) / (jnp.abs(ref) + 1e-2)
         assert float(jnp.median(err)) < 0.02, float(jnp.median(err))
+
+
+class TestDirectionCorePallas:
+    def _params(self, E=64, V=128, seed=3):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(seed)
+        p = {}
+        for l in (0, 1):
+            for nm in ("wq", "wk", "wv"):
+                p[f"{nm}{l}"] = jnp.asarray(
+                    rng.randn(E, E) / np.sqrt(E), jnp.float32)
+        p["wc0"] = jnp.asarray(rng.randn(E, E) / np.sqrt(E), jnp.float32)
+        p["bc0"] = jnp.asarray(rng.randn(E) * 0.1, jnp.float32)
+        p["wc1"] = jnp.asarray(rng.randn(E, V) / np.sqrt(E), jnp.float32)
+        p["bc1"] = jnp.asarray(rng.randn(V) * 0.1, jnp.float32)
+        p["wm0"] = jnp.asarray(rng.randn(V, V) / np.sqrt(V), jnp.float32)
+        p["bm0"] = jnp.asarray(rng.randn(V) * 0.1, jnp.float32)
+        p["wm1"] = jnp.asarray(rng.randn(V, V) / np.sqrt(V), jnp.float32)
+        p["bm1"] = jnp.asarray(rng.randn(V) * 0.1, jnp.float32)
+        p["wr"] = jnp.asarray(rng.randn(V, 1) / np.sqrt(V), jnp.float32)
+        p["br"] = jnp.asarray(rng.randn(1) * 0.1, jnp.float32)
+        return p
+
+    @pytest.mark.slow
+    def test_interpret_matches_reference(self):
+        import jax.numpy as jnp
+
+        from etch_tpu.nn.pallas_dircore import (direction_core_pallas,
+                                                direction_core_ref)
+
+        p = self._params()
+        rng = np.random.RandomState(0)
+        tokens = jnp.asarray(rng.randn(24, 60, 64), jnp.float32)
+        ref = direction_core_ref(tokens, p, 8)
+        out = direction_core_pallas(tokens, p, 8, interpret=True)
+        err = jnp.abs(out - ref) / (jnp.abs(ref) + 1e-2)
+        assert float(jnp.median(err)) < 0.05, float(jnp.median(err))
+
+    def test_packed_equals_plain_attention(self):
+        import jax.numpy as jnp
+
+        from etch_tpu.nn.pallas_attention import (attention_ref,
+                                                  packed_attention)
+
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(12, 60, 64), jnp.float32)
+        k = jnp.asarray(rng.randn(12, 60, 64), jnp.float32)
+        v = jnp.asarray(rng.randn(12, 60, 64), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(packed_attention(q, k, v, 8)),
+            np.asarray(attention_ref(q, k, v, 8)), rtol=2e-4, atol=2e-4)

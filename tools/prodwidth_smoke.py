@@ -78,14 +78,21 @@ def main():
     state, losses = train_step(state, batch)
     loss = float(losses["all_loss"])
     results["train_compile_plus_step_s"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    state, losses = train_step(state, batch)
+    # amortized: chain dependent steps, fetch ONE scalar at the end (the
+    # repo's axon measurement rule — a single-shot wall timing with a
+    # float() sync published a misleading 2.284 s/step in round 4,
+    # contradicting the amortized 1.125 s in DESIGN.md)
+    steps = max(1, int(os.environ.get("ETCH_PW_STEPS", "3")))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, losses = train_step(state, batch)
     loss2 = float(losses["all_loss"])
-    results["train_step_s"] = round(time.time() - t0, 3)
+    results["train_step_s"] = round((time.perf_counter() - t0) / steps, 3)
+    results["train_steps_amortized"] = steps
     assert np.isfinite(loss) and np.isfinite(loss2), (loss, loss2)
     results["train_loss"] = round(loss2, 4)
-    print(f"train step (sharded, full width): {results['train_step_s']} s, "
-          f"loss {loss2:.4f}", flush=True)
+    print(f"train step (sharded, full width, amortized over {steps}): "
+          f"{results['train_step_s']} s, loss {loss2:.4f}", flush=True)
 
     # predict under the same sharding
     fwd = jax.jit(lambda v, p: model.apply(v, p, train=False))
@@ -95,14 +102,17 @@ def main():
     out = fwd(variables, hp)
     cs = float(jnp.sum(out["direction"]) + jnp.sum(out["magnitude"]))
     results["predict_compile_plus_step_s"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    out = fwd(variables, hp)
-    cs = float(jnp.sum(out["direction"]) + jnp.sum(out["magnitude"]))
-    results["predict_step_s"] = round(time.time() - t0, 3)
+    # amortized predict: dispatch reps back-to-back, fetch once
+    reps = 5
+    t0 = time.perf_counter()
+    sums = [jnp.sum(fwd(variables, hp)["magnitude"]) for _ in range(reps)]
+    for s_ in sums:
+        float(s_)
+    results["predict_step_s"] = round((time.perf_counter() - t0) / reps, 3)
     assert np.isfinite(cs), cs
     results["predict_checksum"] = round(cs, 3)
-    print(f"predict (sharded, full width): {results['predict_step_s']} s",
-          flush=True)
+    print(f"predict (sharded, full width, amortized over {reps}): "
+          f"{results['predict_step_s']} s", flush=True)
 
     out_path = os.path.join(REPO, "docs", "evidence", "prodwidth_smoke.json")
     with open(out_path, "w") as f:

@@ -113,6 +113,48 @@ def main():
           f"delta {(e2e - prev) * 1e3:7.1f} ms", flush=True)
     print(f"scans/sec at B={BATCH}: {BATCH / e2e:.2f}", flush=True)
 
+    # evidence artifact (VERDICT r4 next #1a): per-stage wall deltas on the
+    # REAL forward program (cumulative pred_items prefixes), paired with the
+    # analytic FLOP model for achieved-TFLOP/s context.  v5e-1 peaks: 197
+    # TF/s bf16 / 49 TF/s f32.
+    from tools import flops_report as fr
+
+    from etch_tpu.utils.config import EtchConfig as _C
+    cfgf = _C(num_point=NUM_POINT, batch_size=BATCH, use_bfloat16=USE_BF16)
+    enc_f, _ = fr.epn_flops(cfgf)
+    dir_f = fr.direction_head_flops(NUM_POINT)
+    mag_f = fr.pt_unet_flops(NUM_POINT, tuple(cfgf.unet_planes_magnitude))
+    conf_f = fr.pt_unet_flops(NUM_POINT, tuple(cfgf.unet_planes_confidence))
+    peak = 197e12 if USE_BF16 else 49e12
+    names = list(times)
+    deltas = [times[names[0]]] + [
+        times[names[i]] - times[names[i - 1]] for i in range(1, len(names))]
+    stage_flops = {"encoder+prop": enc_f, "+confidence (incl geom)": conf_f,
+                   "+magnitude": mag_f, "+direction (full)": dir_f}
+    stages = {}
+    for nm, dt in zip(names, deltas):
+        gflop = stage_flops.get(nm, 0.0) * BATCH / 1e9
+        stages[nm] = {
+            "delta_ms": round(dt * 1e3, 1),
+            "gflop": round(gflop, 1),
+            "mfu_pct": round(100.0 * gflop * 1e9 / max(dt, 1e-9) / peak, 2),
+        }
+    out = {
+        "batch": BATCH, "num_point": NUM_POINT, "bf16": USE_BF16,
+        "reps": REPS, "tunnel_latency_ms": round(latency * 1e3, 1),
+        "stages": stages,
+        "e2e_ms": round(e2e * 1e3, 1),
+        "scans_per_sec": round(BATCH / e2e, 2),
+        "note": "deltas of cumulative pred_items prefixes on the real "
+                "forward program; fit increment = e2e - full forward",
+    }
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "evidence",
+                        "mfu_r05.json")
+    import json
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", os.path.normpath(path), flush=True)
+
 
 if __name__ == "__main__":
     main()
