@@ -59,3 +59,19 @@ def test_point_mesh_distance_zero_on_surface():
     pts = np.einsum("fk,fkc->fc", bary, tri)[None]
     d = np.asarray(point_mesh_distance(pts, verts, jnp.asarray(faces), k=3))
     np.testing.assert_allclose(d[0], 0.0, atol=1e-5)
+
+
+def test_group_points_transposed_matches_group_points():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from etch_tpu.ops import group_points, group_points_transposed
+
+    rng = np.random.RandomState(0)
+    B, N, C, M, K = 3, 50, 8, 20, 5
+    feats = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, N, (B, M, K)), jnp.int32)
+    a = group_points(feats, idx)                     # (B, M, K, C)
+    b = group_points_transposed(feats, idx)          # (K, B*M, C)
+    np.testing.assert_array_equal(
+        np.asarray(b), np.asarray(a).reshape(B * M, K, C).transpose(1, 0, 2))
