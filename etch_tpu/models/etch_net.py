@@ -191,13 +191,23 @@ class EtchNet(nn.Module):
         K, A, C = feats.shape[1], feats.shape[2], feats.shape[3]
 
         # 3-NN feature propagation back to all N input points with
-        # squared-distance IDW (reference pointnet2_utils.py:45-74)
-        flat = feats.transpose(0, 1, 3, 2).reshape(B, K, C * A)
+        # squared-distance IDW (reference pointnet2_utils.py:45-74).
+        # Lanes stay (anchor, channel)-ordered — the natural layout of the
+        # encoder output — so the direction head's (A, C) tokens need no
+        # transpose (the (c, a) flatten of the reference's reshape forced a
+        # 315 MB dual-layout copy, ~6 ms at B=8; lane order is internal, and
+        # the anchor-mean below is order-free).
+        flat = feats.reshape(B, K, A * C)
         prop = knn_interpolate(cloud.xyz, hitpts, flat, k=3, use_sqrt=False)
-        point_equiv = prop.reshape(B, N, C, A)           # (B, N, C, A)
-        point_inv = jnp.mean(point_equiv, axis=-1)       # (B, N, C)
+        point_equiv = prop.reshape(B, N, A, C)           # (B, N, A, C)
+        point_inv = jnp.mean(point_equiv, axis=2)        # (B, N, C)
 
         results = {}
+        # "equiv" exposes the propagated per-point invariant features — an
+        # exact prefix of the production program, used by the stage profiler
+        # (without it an encoder-only program is fully dead-code-eliminated)
+        if "equiv" in pred_items:
+            results["equiv"] = point_inv
         # the two U-Net heads share identical trunk geometry over the same
         # cloud — compute FPS/kNN/interpolation queries once for both
         geom = None
@@ -212,8 +222,8 @@ class EtchNet(nn.Module):
             results["part_labels"] = logits.astype(jnp.float32)
             results["confidences"] = conf.astype(jnp.float32)
         if "direction" in pred_items:
-            equiv = point_equiv.transpose(0, 1, 3, 2)    # (B, N, A, C)
-            results["direction"] = self.direction_head(equiv, train=train)
+            results["direction"] = self.direction_head(
+                point_equiv, train=train)                # (B, N, A, C)
         if "magnitude" in pred_items:
             results["magnitude"] = self.magnitude_head(
                 hitpts, point_inv, train=train, geom=geom

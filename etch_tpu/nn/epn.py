@@ -93,9 +93,12 @@ class InstanceNormPA(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:  # (B, P, A, C)
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # stats in f32: a bf16-accumulated mean over ~150k elements loses
+        # ~3 mantissa bits (the conv stream hands bf16 feats at inference)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2), keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
 
 
 class InterSO3Conv(nn.Module):
@@ -227,6 +230,19 @@ class InterSO3Conv(nn.Module):
             # Contract (K, C) directly on the 5D tensor: reshaping to
             # (..., K*C) first makes XLA physically relayout the kernel's
             # output before the dot (~1.5-1.8 ms copy per chunk).
+            # bf16 streaming: with bf16 weights + DEFAULT precision the
+            # projection runs ~2x the mixed f32 rate (trace r5: 2.5
+            # ms/chunk at 49% f32 MXU), and the bf16 chunk output halves
+            # the concat's read-modify-write chain (157 MB/chunk in f32).
+            if self.compute_dtype == jnp.bfloat16:
+                out = jax.lax.dot_general(
+                    t.astype(jnp.bfloat16),
+                    W.reshape(K, C, self.dim_out).astype(jnp.bfloat16),
+                    dimension_numbers=(((3, 4), (0, 1)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                return (out + bias).astype(jnp.bfloat16)
             out = jax.lax.dot_general(
                 t, W.reshape(K, C, self.dim_out),
                 dimension_numbers=(((3, 4), (0, 1)), ((), ())),

@@ -262,6 +262,11 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
         ] + extra_specs,
         out_specs=out_spec,
         out_shape=out_shape,
+        # the restarted axon compiler (2026-08-20) accounts kernel stack
+        # tighter than before: the f32 training variant now overflows the
+        # default 16 MB scoped-vmem budget by ~656 KB.  v5e has headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(*mids, rks, al, *extra_in)
     if C == 1:

@@ -78,10 +78,11 @@ def main():
         return (time.perf_counter() - t0) / REPS - latency
 
     stages = [
-        ("encoder+prop", ()),
-        ("+confidence (incl geom)", ("confidence",)),
-        ("+magnitude", ("confidence", "magnitude")),
-        ("+direction (full)", ("confidence", "magnitude", "direction")),
+        ("encoder+prop", ("equiv",)),
+        ("+confidence (incl geom)", ("equiv", "confidence")),
+        ("+magnitude", ("equiv", "confidence", "magnitude")),
+        ("+direction (full)",
+         ("equiv", "confidence", "magnitude", "direction")),
     ]
     prev, times = 0.0, {}
     for name, items in stages:
