@@ -157,6 +157,29 @@ def _kernel_ones(T, nn, A, K, fast_w, gx_ref, rks_ref, al_ref, o_ref):
                               keepdims=True)[0].astype(o_ref.dtype)
 
 
+def _kernel_ones_proj(T, nn, A, K, Co, fast_w, gx_ref, rks_ref, al_ref,
+                      wbd_ref, o_ref):
+    """Occupancy features + fused (K -> Co) projection: out[t, a*Co+o] =
+    sum_k sum_n w[t, n, a*K+k] * W[k, o].  The projection is a single
+    (T, A*K) @ (A*K, A*Co) dot against a block-diagonal expansion of W —
+    the off-anchor blocks are structurally zero.  Removes the XLA-side
+    projection + concat read-modify-write chains over the (B, c, A, K)
+    intermediate (~10.5 ms/forward at B=8, trace r5)."""
+    x = gx_ref[0]
+    bx = -(x[:, 0:1] ** 2 + x[:, 1:2] ** 2 + x[:, 2:3] ** 2)
+    m = _w_matmul(x, rks_ref, fast_w)
+    w = jnp.maximum(m + bx * al_ref[1:2, :1] + al_ref[0:1, :], 0.0)
+    rows = [jnp.sum(w[t * nn:(t + 1) * nn, :], axis=0, keepdims=True)
+            for t in range(T)]
+    wsum = jnp.concatenate(rows, axis=0)                     # (T, A*K)
+    o_ref[0] = jax.lax.dot_general(
+        wsum.astype(wbd_ref.dtype), wbd_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(o_ref.dtype)
+
+
 def _kernel_c1(T, nn, A, K, fast_w, gx_ref, gf_ref, rks_ref, al_ref, e_ref,
                o_ref):
     """C == 1 case (occupancy input features): the contraction degenerates to
@@ -185,8 +208,14 @@ def _kernel_c1(T, nn, A, K, fast_w, gx_ref, gf_ref, rks_ref, al_ref, e_ref,
 )
 def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
                        interpret: bool = False, tile: int | None = None,
-                       group: int | None = None, fast_w: bool = False):
-    """Pallas path.  Same contract as interconv_t_xla (t may be bf16)."""
+                       group: int | None = None, fast_w: bool = False,
+                       proj_w=None):
+    """Pallas path.  Same contract as interconv_t_xla (t may be bf16).
+
+    proj_w (K, Co), occupancy path only: fuse the output projection into
+    the kernel (bf16, DEFAULT precision — inference streaming only); the
+    result is then (B, c, A*Co) instead of the (B, c, A, K, 1) tensor.
+    """
     B, c, nn, _ = gx.shape
     C = 1 if gf2 is None else gf2.shape[3] // A
     AK = rk.shape[0]
@@ -216,7 +245,22 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
 
     gx2 = gx.reshape(B, cp * nn, 3).astype(jnp.float32)
     extra_in, extra_specs = [], []
-    if gf2 is None:
+    if gf2 is None and proj_w is not None:
+        Co = proj_w.shape[1]
+        # block-diagonal (A*K, A*Co) expansion of W (K, Co)
+        wbd = (jnp.eye(A, dtype=jnp.float32)[:, None, :, None]
+               * proj_w.astype(jnp.float32)[None, :, None, :]
+               ).reshape(AK, A * Co).astype(jnp.bfloat16)
+        mids = [gx2]
+        kern = functools.partial(_kernel_ones_proj, T, nn, A, K, Co, fast_w)
+        out_shape = jax.ShapeDtypeStruct((B, cp, A * Co), out_dtype)
+        out_spec = pl.BlockSpec((1, T, A * Co), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+        gf_spec = None
+        extra_in = [wbd]
+        extra_specs = [pl.BlockSpec((AK, A * Co), lambda b, i: (0, 0),
+                                    memory_space=pltpu.VMEM)]
+    elif gf2 is None:
         mids = [gx2]
         kern = functools.partial(_kernel_ones, T, nn, A, K, fast_w)
         out_shape = jax.ShapeDtypeStruct((B, cp, AK), out_dtype)
@@ -269,7 +313,7 @@ def interconv_t_pallas(gx, gf2, rk, sigma, A, out_dtype=jnp.bfloat16,
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(*mids, rks, al, *extra_in)
-    if C == 1:
+    if C == 1 and proj_w is None:
         t = t.reshape(B, cp, A, K, 1)
     return t[:, :c]
 
@@ -324,3 +368,39 @@ def _interconv_t_bwd(sigma, A, use_pallas, fast_w, res, g):
 
 
 interconv_t.defvjp(_interconv_t_fwd, _interconv_t_bwd)
+
+
+def _ones_proj_xla(gx, rk, sigma, A, w):
+    t = interconv_t_xla(gx, None, rk, sigma, A)              # (B,c,A,K,1)
+    return jax.lax.dot_general(
+        t[..., 0], w,
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # (B,c,A,Co)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def interconv_ones_proj(gx, w, rk, sigma, A):
+    """Occupancy contraction + (K -> Co) projection fused in one kernel
+    (bf16 streaming inference); XLA composite elsewhere and for backward."""
+    if jax.default_backend() == "tpu":
+        B, c = gx.shape[:2]
+        Co = w.shape[1]
+        out = interconv_t_pallas(gx, None, rk, sigma, A,
+                                 out_dtype=jnp.bfloat16, proj_w=w)
+        return out.reshape(B, c, A, Co).astype(jnp.float32)
+    return _ones_proj_xla(gx, rk, sigma, A, w)
+
+
+def _ones_proj_fwd(gx, w, rk, sigma, A):
+    return interconv_ones_proj(gx, w, rk, sigma, A), (gx, w, rk)
+
+
+def _ones_proj_bwd(sigma, A, res, g):
+    gx, w, rk = res
+    _, vjp = jax.vjp(lambda a, b: _ones_proj_xla(a, rk, sigma, A, b), gx, w)
+    dgx, dw = vjp(g.astype(jnp.float32))
+    return dgx, dw, jnp.zeros_like(rk)
+
+
+interconv_ones_proj.defvjp(_ones_proj_fwd, _ones_proj_bwd)

@@ -63,7 +63,8 @@ def capture(mode: str, log_dir: str):
             "hitpts": jnp.asarray(pts),
             "vectors": jnp.asarray(rng.randn(BATCH, NUM_POINT, 3) * 0.01,
                                    jnp.float32),
-            "confidences": jnp.asarray(rng.rand(BATCH, NUM_POINT), jnp.float32),
+            "confidences": jnp.asarray(
+                rng.rand(BATCH, NUM_POINT, 1), jnp.float32),
             "labels": jnp.asarray(
                 rng.randint(0, 86, (BATCH, NUM_POINT)), jnp.int32),
         }
