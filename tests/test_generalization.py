@@ -56,13 +56,27 @@ def test_generalization_artifact():
     with open(path) as f:
         r = json.load(f)
 
-    assert r["config"]["eval_bodies"] >= 4
+    assert r["config"]["eval_bodies"] >= 8
     assert r["config"]["train_bodies"] >= 8
     held = r["trained"]["heldout"]
     rnd = r["random"]["heldout"]
-    # the model must LEARN, not memorize: held-out bodies it never saw
-    assert held["direction_cosine"] > 0.75, held
-    assert held["label_acc"] > 0.5, held
-    assert held["marker_err_cm"] < 0.5 * rnd["marker_err_cm"], (held, rnd)
-    assert held["v2v_oracle_cm"] < 0.5 * rnd["v2v_oracle_cm"], (held, rnd)
+    # the model must LEARN, not memorize: held-out bodies it never saw.
+    # Gates at ~70% of the round-4 achieved margins (VERDICT r4 next #3:
+    # achieved cosine 0.988 / label acc 0.717 / marker err 0.13x random /
+    # v2v-oracle 0.087x random) so a real regression trips them while
+    # seed-level noise does not.
+    assert held["direction_cosine"] > 0.9, held
+    assert held["label_acc"] > 0.6, held
+    assert held["marker_err_cm"] < 0.2 * rnd["marker_err_cm"], (held, rnd)
+    assert held["v2v_oracle_cm"] < 0.35 * rnd["v2v_oracle_cm"], (held, rnd)
     assert all(r["gates"].values()), r["gates"]
+
+    # learning curve (heldout vs train at 2-3 values of K_TRAIN): the next
+    # regression shows as a curve shift, not only a gate flip
+    curve = r["learning_curve"]
+    assert len(curve) >= 2
+    ks = [c["k_train"] for c in curve]
+    assert ks == sorted(ks)
+    # more training bodies must not make held-out labels much worse
+    accs = [c["heldout"]["label_acc"] for c in curve]
+    assert accs[-1] >= max(accs[:-1]) - 0.1, accs
