@@ -192,15 +192,15 @@ class EtchNet(nn.Module):
 
         # 3-NN feature propagation back to all N input points with
         # squared-distance IDW (reference pointnet2_utils.py:45-74).
-        # Lanes stay (anchor, channel)-ordered — the natural layout of the
-        # encoder output — so the direction head's (A, C) tokens need no
-        # transpose (the (c, a) flatten of the reference's reshape forced a
-        # 315 MB dual-layout copy, ~6 ms at B=8; lane order is internal, and
-        # the anchor-mean below is order-free).
-        flat = feats.reshape(B, K, A * C)
+        # The (c, a)-ordered flatten + explicit transpose for the direction
+        # tokens looks redundant but is the FAST form: flattening (a, c)
+        # instead (tried, round 5) moves the layout change into an implicit
+        # reshape of the prop output that XLA lowers as a slower relayout +
+        # convert (+13 ms on the direction stage at B=8, trace r5c).
+        flat = feats.transpose(0, 1, 3, 2).reshape(B, K, C * A)
         prop = knn_interpolate(cloud.xyz, hitpts, flat, k=3, use_sqrt=False)
-        point_equiv = prop.reshape(B, N, A, C)           # (B, N, A, C)
-        point_inv = jnp.mean(point_equiv, axis=2)        # (B, N, C)
+        point_equiv = prop.reshape(B, N, C, A)           # (B, N, C, A)
+        point_inv = jnp.mean(point_equiv, axis=-1)       # (B, N, C)
 
         results = {}
         # "equiv" exposes the propagated per-point invariant features — an
@@ -222,8 +222,8 @@ class EtchNet(nn.Module):
             results["part_labels"] = logits.astype(jnp.float32)
             results["confidences"] = conf.astype(jnp.float32)
         if "direction" in pred_items:
-            results["direction"] = self.direction_head(
-                point_equiv, train=train)                # (B, N, A, C)
+            equiv = point_equiv.transpose(0, 1, 3, 2)    # (B, N, A, C)
+            results["direction"] = self.direction_head(equiv, train=train)
         if "magnitude" in pred_items:
             results["magnitude"] = self.magnitude_head(
                 hitpts, point_inv, train=train, geom=geom

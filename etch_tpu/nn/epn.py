@@ -225,11 +225,15 @@ class InterSO3Conv(nn.Module):
                 # occupancy conv with the (K -> Cout) projection fused into
                 # the kernel: removes the XLA projection + concat
                 # read-modify-write chains over the (B, c, A, K)
-                # intermediate (~10.5 ms/forward at B=8, trace r5)
+                # intermediate (~10.5 ms/forward at B=8, trace r5).
+                # Output stays f32: a bf16 chunk output makes the NEXT
+                # conv's gather 4-5x slower (XLA lays the bf16 concat out
+                # badly for row gathers — measured 8.3 vs <2 ms per gather,
+                # trace r5c), which dwarfs the halved concat traffic.
                 out = interconv_ones_proj(
                     gx, W.reshape(K, self.dim_out), rk_arr,
                     float(self.sigma), A)
-                return (out + bias).astype(jnp.bfloat16)
+                return out + bias
             gf2 = None if occupancy else group_points(feats_c, idx)
             # fused Pallas contraction on TPU (see pallas_interconv.py):
             # weights are computed in-VMEM and never hit HBM; XLA einsum
@@ -242,8 +246,11 @@ class InterSO3Conv(nn.Module):
             # output before the dot (~1.5-1.8 ms copy per chunk).
             # bf16 streaming: with bf16 weights + DEFAULT precision the
             # projection runs ~2x the mixed f32 rate (trace r5: 2.5
-            # ms/chunk at 49% f32 MXU), and the bf16 chunk output halves
-            # the concat's read-modify-write chain (157 MB/chunk in f32).
+            # ms/chunk at 49% f32 MXU).  The chunk output must stay f32:
+            # emitting bf16 here made the next conv's feature gather 4-5x
+            # slower (trace r5c — XLA's layout for the bf16 concat ruins
+            # the row-gather access pattern), costing far more than the
+            # halved concat traffic saved.
             if self.compute_dtype == jnp.bfloat16:
                 out = jax.lax.dot_general(
                     t.astype(jnp.bfloat16),
@@ -252,7 +259,7 @@ class InterSO3Conv(nn.Module):
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT,
                 )
-                return (out + bias).astype(jnp.bfloat16)
+                return out + bias
             out = jax.lax.dot_general(
                 t, W.reshape(K, C, self.dim_out),
                 dimension_numbers=(((3, 4), (0, 1)), ((), ())),
