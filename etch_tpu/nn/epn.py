@@ -232,7 +232,8 @@ class InterSO3Conv(nn.Module):
                 # trace r5c), which dwarfs the halved concat traffic.
                 out = interconv_ones_proj(
                     gx, W.reshape(K, self.dim_out), rk_arr,
-                    float(self.sigma), A)
+                    float(self.sigma), A,
+                    os.environ.get("ETCH_FAST_W_ONES", "1") == "1")
                 return out + bias
             gf2 = None if occupancy else group_points(feats_c, idx)
             # fused Pallas contraction on TPU (see pallas_interconv.py):

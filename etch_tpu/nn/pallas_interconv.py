@@ -379,24 +379,33 @@ def _ones_proj_xla(gx, rk, sigma, A, w):
     )                                                        # (B,c,A,Co)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def interconv_ones_proj(gx, w, rk, sigma, A):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def interconv_ones_proj(gx, w, rk, sigma, A, fast_w=False):
     """Occupancy contraction + (K -> Co) projection fused in one kernel
-    (bf16 streaming inference); XLA composite elsewhere and for backward."""
+    (bf16 streaming inference); XLA composite elsewhere and for backward.
+
+    fast_w: 1-pass bf16 w-matmul.  Unlike the C>=32 contraction kernel —
+    where ANY change to the w matmul collapses Mosaic's schedule (four
+    reverted attempts, DESIGN.md r4) — the occupancy kernel has no
+    contraction dots to disturb: measured 4.92 -> 2.24 ms per production
+    chunk-op, median rel err 0.25% (relu-edge outliers at small
+    magnitudes)."""
     if jax.default_backend() == "tpu":
         B, c = gx.shape[:2]
         Co = w.shape[1]
         out = interconv_t_pallas(gx, None, rk, sigma, A,
-                                 out_dtype=jnp.bfloat16, proj_w=w)
+                                 out_dtype=jnp.bfloat16, proj_w=w,
+                                 fast_w=fast_w)
         return out.reshape(B, c, A, Co).astype(jnp.float32)
     return _ones_proj_xla(gx, rk, sigma, A, w)
 
 
-def _ones_proj_fwd(gx, w, rk, sigma, A):
-    return interconv_ones_proj(gx, w, rk, sigma, A), (gx, w, rk)
+def _ones_proj_fwd(gx, w, rk, sigma, A, fast_w=False):
+    return (interconv_ones_proj(gx, w, rk, sigma, A, fast_w),
+            (gx, w, rk))
 
 
-def _ones_proj_bwd(sigma, A, res, g):
+def _ones_proj_bwd(sigma, A, fast_w, res, g):
     gx, w, rk = res
     _, vjp = jax.vjp(lambda a, b: _ones_proj_xla(a, rk, sigma, A, b), gx, w)
     dgx, dw = vjp(g.astype(jnp.float32))
