@@ -101,7 +101,10 @@ class DirectionHead(nn.Module):
             and os.environ.get("ETCH_DIRCORE_PALLAS", "1") == "1"
         )
         if use_kernel:
-            w = direction_core_pallas(x, params, self.num_heads)   # (M, A)
+            w = direction_core_pallas(
+                x, params, self.num_heads,
+                tile=int(os.environ.get("ETCH_DIRCORE_TILE", "16")),
+            )                                                      # (M, A)
         else:
             # chunk over points to bound the (chunk, H, A, A) attention
             # logits; jax.checkpoint drops them from backward residuals

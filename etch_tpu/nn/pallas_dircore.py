@@ -202,7 +202,7 @@ def direction_core_pallas(tokens, params, num_heads: int, tile: int = 16,
         # the default 16 MB scoped-vmem budget is ~224 KB short for the
         # T=16 phase scratches + softmax temporaries; v5e has headroom
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x2.astype(cdt),
       wb("wq0"), wb("wk0"), wb("wv0"), wb("wc0"), bb("bc0"),
