@@ -103,7 +103,7 @@ class DirectionHead(nn.Module):
         if use_kernel:
             w = direction_core_pallas(
                 x, params, self.num_heads,
-                tile=int(os.environ.get("ETCH_DIRCORE_TILE", "16")),
+                tile=int(os.environ.get("ETCH_DIRCORE_TILE", "24")),
             )                                                      # (M, A)
         else:
             # chunk over points to bound the (chunk, H, A, A) attention
