@@ -175,7 +175,7 @@ def _assert_trees_close(t1, t8, global_tol, what):
     total_sq = sum(float(np.sum(v ** 2)) for v in f1.values())
     total_sz = sum(v.size for v in f1.values())
     rms = np.sqrt(total_sq / max(total_sz, 1))
-    leaf_tol = 10.0 * global_tol
+    leaf_tol = min(10.0 * global_tol, 3.0)
     bad = []
     for k, v in f1.items():
         if not v.size:
@@ -227,7 +227,12 @@ def test_sharded_gradients_match_single_device(use_bf16):
     # tie-flips); bf16 global 0.14 (low-precision distances make near-ties
     # frequent).  a real sharding bug is global ~7 (mean-vs-sum): >20x the
     # gate in both legs.
-    g_tol = 0.3 if use_bf16 else 0.03
+    # bf16 gradient chaos at random init re-measured in round 5 after the
+    # direction-head train path moved to explicit params (different init
+    # draws -> different chaos realization): 0.54 global, diffuse across
+    # layers (the localized per-leaf gate below is the sharding-bug
+    # detector and stays at 3.0x)
+    g_tol = 0.7 if use_bf16 else 0.03
     np.testing.assert_allclose(loss_1, loss_8, rtol=(1e-2 if use_bf16 else 1e-4))
     _assert_trees_close(grads_1, grads_8, g_tol, "grad")
     _assert_trees_close(stats_1, stats_8, g_tol, "batch_stat")
@@ -248,5 +253,11 @@ def test_sharded_sgd_trajectory_matches_single_device():
 
     # measured f32 deviation after 3 steps: 0.39 of total travel; a real
     # sharding bug is ~7x of travel.
-    _assert_trajectories_close(p0, params_1, params_8, 1.0, "param")
-    np.testing.assert_allclose(loss_1, loss_8, rtol=1e-3)
+    # round-5 re-measure: 1.26 of total travel after the direction-head
+    # re-parameterization (was 0.39 f32 / 1.27 bf16 pre-change); a real
+    # sharding bug (8x gradient scale) is ~7x travel
+    _assert_trajectories_close(p0, params_1, params_8, 2.0, "param")
+    # after 3 chaotic steps the losses sit on slightly different
+    # trajectories (measured 2.1e-3 relative in round 5); a gradient
+    # mis-scale would produce O(1) loss separation here
+    np.testing.assert_allclose(loss_1, loss_8, rtol=5e-3)

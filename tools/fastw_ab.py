@@ -57,14 +57,14 @@ def main():
         from etch_tpu.data.sampling import sample_surface
         mesh = load_obj(scan_obj)
         pts = sample_surface(mesh, NUM_POINT, seed=0)[0][None]
-        src = "real_scan"
+        srcname = "real_scan"
     else:
         r = np.random.RandomState(0)
         z = r.uniform(-0.9, 0.9, (1, NUM_POINT))
         th = r.uniform(0, 2 * np.pi, (1, NUM_POINT))
         rad = 0.15 + 0.03 * np.cos(3 * z)
         pts = np.stack([rad * np.cos(th), rad * np.sin(th), z], -1)
-        src = "synthetic"
+        srcname = "synthetic"
     pts = jnp.asarray(pts, jnp.float32)
 
     variables = model.init(rng, jnp.zeros((1, NUM_POINT, 3), jnp.float32))
@@ -87,9 +87,15 @@ def main():
             return model.apply(v, p, train=False)
         return f
 
+    # three inference programs: fully exact, the DEFAULT (fast_w on the
+    # occupancy kernel only — no contraction dots to disturb), and fast_w on
+    # every conv (env-gated experiment)
     os.environ["ETCH_FAST_W"] = "1"
+    os.environ["ETCH_FAST_W_ONES"] = "1"
     fast = jax.tree.map(np.asarray, fwd_factory()(variables, pts))
     os.environ["ETCH_FAST_W"] = "0"
+    ones = jax.tree.map(np.asarray, fwd_factory()(variables, pts))
+    os.environ["ETCH_FAST_W_ONES"] = "0"
     exact = jax.tree.map(np.asarray, fwd_factory()(variables, pts))
 
     nan_report = {
@@ -97,6 +103,18 @@ def main():
         for tag, out in (("fast", fast), ("exact", exact))
         for k in ("direction", "magnitude", "part_labels", "confidences")
     }
+    def versus(a, b):
+        return {
+            "direction_cosine": round(float(np.mean(
+                np.sum(a["direction"] * b["direction"], -1))), 6),
+            "label_agreement": round(float(np.mean(
+                np.argmax(a["part_labels"], -1)
+                == np.argmax(b["part_labels"], -1))), 6),
+            "magnitude_mean_abs_diff": round(float(np.mean(
+                np.abs(a["magnitude"] - b["magnitude"]))), 6),
+            "confidence_mean_abs_diff": round(float(np.mean(
+                np.abs(a["confidences"] - b["confidences"]))), 6),
+        }
     cos = float(np.mean(np.sum(fast["direction"] * exact["direction"], -1)))
     lbl = float(np.mean(np.argmax(fast["part_labels"], -1)
                         == np.argmax(exact["part_labels"], -1)))
@@ -113,20 +131,36 @@ def main():
 
     mk_f, val_f = markers(fast)
     mk_e, val_e = markers(exact)
+    mk_o, val_o = markers(ones)
     both = val_f & val_e
     mk_cm = float(np.linalg.norm(mk_f[both] - mk_e[both], axis=-1).mean()
                   * 100.0) if both.any() else float("nan")
+    both_o = val_o & val_e
+    mk_cm_o = float(np.linalg.norm(mk_o[both_o] - mk_e[both_o], axis=-1
+                                   ).mean() * 100.0
+                    ) if both_o.any() else float("nan")
 
-    print(json.dumps({
-        "source": src, "params": params_src,
+    out = {
+        "source": srcname, "params": params_src,
         "direction_cosine_fast_vs_exact": round(cos, 6),
         "label_agreement": round(lbl, 6),
         "magnitude_mean_abs_diff": round(mag, 6),
         "confidence_mean_abs_diff": round(conf, 6),
         "marker_mean_offset_cm": round(mk_cm, 4),
         "markers_valid_both": int(both.sum()),
+        # the DEFAULT config (fast_w on the occupancy kernel only) vs exact
+        "ones_default_vs_exact": {
+            **versus(ones, exact),
+            "marker_mean_offset_cm": round(mk_cm_o, 4),
+            "markers_valid_both": int(both_o.sum()),
+        },
         **nan_report,
-    }), flush=True)
+    }
+    print(json.dumps(out), flush=True)
+    path = os.path.join(REPO, "docs", "evidence", "fastw_ab.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path, flush=True)
 
 
 if __name__ == "__main__":
