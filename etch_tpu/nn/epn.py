@@ -158,7 +158,8 @@ class InterSO3Conv(nn.Module):
 
         nn_k = self.n_neighbor
 
-        chunk = min(self.chunk, P2)
+        chunk = min(int(os.environ.get("ETCH_INTERCONV_CHUNK",
+                                       str(self.chunk))), P2)
         pad = (-P2) % chunk
         idx_c = jnp.pad(nbr_idx, ((0, 0), (0, pad), (0, 0))).reshape(
             B, -1, chunk, nn_k
