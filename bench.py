@@ -89,12 +89,11 @@ def main():
     checksum = jax.jit(lambda v, m: jnp.sum(v) + jnp.sum(m))
 
     def dispatch_once():
-        """Enqueue one predict+fit; returns an unfetched device scalar."""
-        pred = pipe.predict(pts)
-        verts, params, markers, valid, joints = pipe.fit(
-            pred["inner_points"], pred["part_labels"], pred["confidences"]
-        )
-        return checksum(verts, markers)
+        """Enqueue one fused predict+fit program (run_batch: ONE dispatch
+        per batch — the split predict()/fit() path issues ~10, each paying
+        tunnel overhead); returns an unfetched device scalar."""
+        out = pipe.run_batch(pts)
+        return checksum(out["verts"], out["markers"])
 
     # NOTE: on the axon remote backend block_until_ready does not block;
     # fetching a scalar derived from the outputs is the only reliable
@@ -145,11 +144,8 @@ def main():
         pts1 = pts[:1]
 
         def dispatch_b1():
-            pred = pipe1.predict(pts1)
-            verts, params, markers, valid, joints = pipe1.fit(
-                pred["inner_points"], pred["part_labels"], pred["confidences"]
-            )
-            return checksum(verts, markers)
+            out = pipe1.run_batch(pts1)
+            return checksum(out["verts"], out["markers"])
 
         float(dispatch_b1())  # compile + warm
         lat = []

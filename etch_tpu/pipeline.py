@@ -95,6 +95,51 @@ class InferencePipeline:
         self._forward = _forward
         self._variables = {"params": params, "batch_stats": batch_stats}
 
+        @jax.jit
+        def _predict_fit(variables, pts):
+            # ONE device program for the whole serving step: forward ->
+            # vectors/inner/labels -> marker extraction -> two-stage LM ->
+            # SMPL forward.  The split predict()/fit() path issues ~10
+            # separate dispatches per batch (each tiny eager jnp op is its
+            # own tunnel roundtrip on the axon backend: jit_multiply /
+            # jit_argmax / ... in the traces); serving loops should use
+            # run_batch.
+            results = self.model.apply(variables, pts, train=False)
+            vectors = (results["direction"] * results["magnitude"]
+                       / self.cfg.scale_magnitude)
+            labels = jnp.argmax(results["part_labels"], axis=-1)
+            inner = pts - vectors
+            markers, valid = extract_markers(
+                inner, labels, results["confidences"],
+                num_markers=len(self.marker_vids),
+            )
+            fitp = fit_smpl_params(
+                self.sub, markers, valid,
+                steps_stage0=self.cfg.fit_steps_stage0,
+                steps_stage1=self.cfg.fit_steps_stage1,
+                lr_stage0=self.cfg.fit_lr_stage0,
+                lr_stage1=self.cfg.fit_lr_stage1,
+                num_betas=int(self.body_model.num_betas),
+            )
+            verts, joints = smpl_forward(
+                self.body_model, fitp["betas"], fitp["pose"],
+                fitp["global_orient"], fitp["transl"],
+            )
+            return {
+                "vectors": vectors, "inner_points": inner,
+                "part_labels": labels, "confidences": results["confidences"],
+                "markers": markers, "markers_valid": valid,
+                "fit_params": fitp, "verts": verts, "joints": joints,
+            }
+
+        self._predict_fit = _predict_fit
+
+    def run_batch(self, points: np.ndarray):
+        """Fused serving step: (B, N, 3) scan batch -> predictions + fitted
+        SMPL, in a single device program (one dispatch per batch)."""
+        return self._predict_fit(self._variables,
+                                 jnp.asarray(points, jnp.float32))
+
     def predict(self, points: np.ndarray):
         """points: (B, N, 3) -> dict with vectors/labels/confidences/inner."""
         pts = jnp.asarray(points, jnp.float32)

@@ -112,3 +112,22 @@ def test_dryrun_multichip_cpu_mesh():
     spec.loader.exec_module(mod)
     assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_run_batch_matches_split_path(pipe):
+    """The fused serving step must agree with predict()+fit()."""
+    rng = np.random.RandomState(2)
+    z = rng.uniform(-0.9, 0.9, (1, TINY_N))
+    th = rng.uniform(0, 2 * np.pi, (1, TINY_N))
+    pts = np.stack(
+        [0.15 * np.cos(th), 0.15 * np.sin(th), z], axis=-1
+    ).astype(np.float32)
+    out = pipe.run_batch(pts)
+    pred = pipe.predict(pts)
+    verts, params, markers, valid, joints = pipe.fit(
+        pred["inner_points"], pred["part_labels"], pred["confidences"])
+    np.testing.assert_allclose(np.asarray(out["markers"]),
+                               np.asarray(markers), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["verts"]),
+                               np.asarray(verts), rtol=1e-4, atol=1e-4)
