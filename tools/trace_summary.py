@@ -73,11 +73,16 @@ def capture(mode: str, log_dir: str):
             nonlocal state
             state, losses = train_step(state, batch)
             return float(losses["all_loss"])
+    elif mode == "e2e":
+        # the fused serving program (run_batch) — the path bench.py measures
+        def run():
+            out = pipe.run_batch(pts)
+            return float(jnp.sum(out["verts"]) + jnp.sum(out["markers"]))
     else:
         def run():
             pred = pipe.predict(pts)
             out = float(jnp.sum(pred["inner_points"]))
-            if mode in ("fit", "e2e"):
+            if mode == "fit":
                 verts, params, markers, valid, joints = pipe.fit(
                     pred["inner_points"], pred["part_labels"],
                     pred["confidences"])
