@@ -11,6 +11,7 @@ parity and testability.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -94,18 +95,22 @@ def _make_flat_gather(shape: tuple, dtype_name: str, on_tpu: bool):
         return flat[gidx], gidx
 
     def bwd(gidx, g):
-        if not on_tpu:
-            # Default scatter-add transpose. On CPU/GPU the one-hot matmul
-            # below can materialize a (R, T) one-hot (tens of GB at
-            # production shapes) when the fusion doesn't fire.
+        use_onehot = (on_tpu
+                      and os.environ.get("ETCH_GATHER_BWD", "scatter")
+                      == "onehot")
+        if not use_onehot:
+            # Scatter-add transpose — the default everywhere since round 5.
+            # History: round 1 measured the TPU scatter emitter at ~100 GB/s
+            # (15.9 ms at 131k rows x 1920 lanes) and the one-hot matmul
+            # below pattern-matched to an optimized 2.4 ms path.  The
+            # compiler shipped with the restarted axon terminal (2026-08-20)
+            # INVERTED this: one-hot 110.2 ms vs scatter 27.6 ms at
+            # (262144 -> 20000, 1920) — the gather backwards were ~940 ms
+            # of the 3.8 s train step (trace r5 train).  ETCH_GATHER_BWD=
+            # onehot restores the old path for future compiler A/Bs.
             zero = jnp.zeros(shape, g.dtype)
             dflat = zero.at[gidx].add(g)
             return dflat.astype(dtype), None
-        # One-hot matmul instead of the default scatter-add transpose: XLA's
-        # TPU scatter emitter runs at ~100 GB/s effective (15.9 ms at 131k
-        # gradient rows x 1920 lanes), while the one-hot dot pattern-matches
-        # to an optimized path (2.4 ms measured; the (R, T) one-hot is never
-        # materialized).
         g2 = g.reshape(g.shape[0], -1)
         oh = jax.nn.one_hot(gidx, T, dtype=g2.dtype)
         dflat = jax.lax.dot_general(
