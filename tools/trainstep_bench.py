@@ -93,7 +93,8 @@ def main():
         "devices": jax.device_count(),
     }
     print(json.dumps(out))
-    path = os.path.join(REPO, "docs", "evidence", "trainstep.json")
+    name = "trainstep_bf16.json" if USE_BF16 else "trainstep.json"
+    path = os.path.join(REPO, "docs", "evidence", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path)
